@@ -1,0 +1,104 @@
+"""Iceberg-style snapshot tables over parquet + JSON manifest.
+
+The north rule requires checkpointed, resumable frontier iterations with
+per-partition lineage. The sandbox has no Iceberg runtime jar, so this module
+provides the minimal equivalent semantics on plain parquet:
+
+- a table is a directory with ``manifest.json`` listing snapshots;
+- each snapshot is an immutable list of parquet data directories plus
+  free-form metadata (iteration number, row counts, ...);
+- ``append`` creates a new snapshot = previous dirs + one new dir (no data
+  rewrite — O(1) metadata commit, like an Iceberg fast-append);
+- ``replace`` creates a new snapshot from scratch (like INSERT OVERWRITE);
+- readers pin a snapshot id → snapshot isolation / time travel;
+- the manifest is committed via write-temp-then-rename, so a crashed writer
+  never corrupts the table and a resumed run continues from the last
+  committed snapshot (SURVEY.md §4 custom-work item 4).
+
+On a real cluster this class is swapped for Iceberg tables (writeTo(...)
+.append() / MERGE INTO); the crawl loop only touches this narrow interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshots": [], "current": None}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + "." + uuid.uuid4().hex + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    def _write_data(self, df: DataFrame) -> str:
+        name = "data-" + uuid.uuid4().hex
+        path = os.path.join(self.root, name)
+        df.write.mode("overwrite").parquet(path)
+        return name
+
+    # -- public API ---------------------------------------------------------
+
+    def current_snapshot_id(self) -> int | None:
+        return self._read_manifest()["current"]
+
+    def snapshot_meta(self, snapshot_id: int | None = None) -> dict | None:
+        m = self._read_manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        for s in m["snapshots"]:
+            if s["id"] == sid:
+                return s["meta"]
+        return None
+
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()["snapshots"]
+
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        m = self._read_manifest()
+        dirs = []
+        if m["current"] is not None:
+            dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
+        return self._commit(m, list(dirs) + [self._write_data(df)], meta)
+
+    def replace(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit(self._read_manifest(), [self._write_data(df)], meta)
+
+    def _commit(self, manifest: dict, dirs: list[str], meta: dict | None) -> int:
+        sid = (manifest["current"] or 0) + 1
+        manifest["snapshots"].append({"id": sid, "dirs": dirs, "meta": meta or {}})
+        manifest["current"] = sid
+        self._commit_manifest(manifest)
+        return sid
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+        m = self._read_manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            return None
+        dirs = next((s["dirs"] for s in m["snapshots"] if s["id"] == sid), None)
+        if dirs is None:
+            raise KeyError(f"snapshot {sid} not found in {self.root}")
+        if not dirs:
+            return None
+        return spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+
+    def is_empty(self) -> bool:
+        return self.current_snapshot_id() is None
