@@ -46,4 +46,10 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Ship the package to executor Python workers (--py-files equivalent);
+    # required whenever the driver process isn't rooted in the repo dir.
+    from crawl4ai_spark.deploy import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    return spark

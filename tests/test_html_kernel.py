@@ -1,0 +1,186 @@
+"""Extraction kernel unit tests: parser, scrape, markdown, pruning.
+
+Test style mirrors the reference's own suites (golden substrings + counts on
+fixture HTML — tests/async/test_content_filter_prune.py,
+test_content_scraper_strategy.py), re-hosted over our stdlib kernel.
+"""
+
+from __future__ import annotations
+
+from crawl4ai_spark.html import (
+    html_to_markdown,
+    links_to_citations,
+    parse_html,
+    prune_fit_html,
+    scrape_page,
+)
+
+FIXTURE = """<html lang="de"><head>
+<title>Fixture Page</title>
+<meta name="description" content="a test page">
+<meta property="og:title" content="OG Fixture">
+<script>var x = 1;</script>
+<style>.a { color: red }</style>
+</head><body>
+<nav class="nav"><a href="/">home</a> <a href="/about">about</a></nav>
+<article>
+<h1>Main Heading</h1>
+<p>This is the main article body with enough words to be considered real
+content by any density heuristic. It talks about crawling, parsing and
+markdown generation at length, sentence after sentence.</p>
+<p>Second paragraph with <strong>bold</strong> and <em>italic</em> and
+<code>inline code</code> and a <a href="deep/page.html" title="t">relative link</a>.</p>
+<pre><code>def f():
+    return 1</code></pre>
+<ul><li>alpha</li><li>beta</li></ul>
+<table><thead><tr><th>col1</th><th>col2</th></tr></thead>
+<tbody><tr><td>v1</td><td>v2</td></tr><tr><td>v3</td><td>v4</td></tr></tbody></table>
+<img src="/big.png" alt="big image" width="400" height="300">
+<img src="/tiny.gif" width="10" height="10">
+<a href="https://other.example/x?utm_source=t&z=1&a=2#f">external tracked</a>
+</article>
+<div class="sidebar">short ad text</div>
+<footer class="footer">copyright boilerplate</footer>
+</body></html>"""
+
+URL = "https://www.site.example/dir/page.html"
+
+
+def test_parser_roundtrip():
+    root = parse_html("<div a=1><p>x <b>y</b></p></div>")
+    assert root.find("b").text() == "y"
+    assert root.find("div").attrs["a"] == "1"
+    assert root.find("p").word_count() == 2
+
+
+def test_parser_malformed():
+    # unclosed + misnested tags must not crash and still yield text
+    root = parse_html("<div><p>one<span>two</div></p>three")
+    assert "one" in root.text() and "two" in root.text()
+
+
+def test_scrape_metadata_and_lang():
+    r = scrape_page(FIXTURE, URL)
+    assert r["success"]
+    assert r["lang"] == "de"
+    assert r["metadata"]["title"] == "Fixture Page"
+    assert r["metadata"]["description"] == "a test page"
+    assert r["metadata"]["og:title"] == "OG Fixture"
+
+
+def test_scrape_links():
+    r = scrape_page(FIXTURE, URL)
+    hrefs = {l["href"]: l for l in r["links"]}
+    # relative resolved
+    assert "https://www.site.example/dir/deep/page.html" in hrefs
+    # tracking params dropped + sorted by the link normalizer (T1)
+    assert "https://other.example/x?a=2&z=1" in hrefs
+    ext = hrefs["https://other.example/x?a=2&z=1"]
+    assert ext["is_external"] is True
+    internal = hrefs["https://www.site.example/dir/deep/page.html"]
+    assert internal["is_external"] is False
+    assert internal["title"] == "t"
+
+
+def test_scrape_media_scoring():
+    r = scrape_page(FIXTURE, URL)
+    srcs = [m["src"] for m in r["media"]]
+    assert "/big.png" in srcs  # large + alt + format → kept
+    assert "/tiny.gif" not in srcs  # tiny, no alt → dropped
+
+
+def test_scrape_tables():
+    r = scrape_page(FIXTURE, URL)
+    assert len(r["tables"]) == 1
+    t = r["tables"][0]
+    assert t["headers"] == ["col1", "col2"]
+    assert t["rows"] == [["v1", "v2"], ["v3", "v4"]]
+
+
+def test_scrape_removes_script_style():
+    r = scrape_page(FIXTURE, URL)
+    assert "var x" not in r["cleaned_html"]
+    assert "color: red" not in r["cleaned_html"]
+    assert "var x" not in r["text"]
+
+
+def test_markdown_blocks():
+    r = scrape_page(FIXTURE, URL)
+    md = html_to_markdown(r["cleaned_html"])
+    assert "# Main Heading" in md
+    assert "**bold**" in md
+    assert "*italic*" in md
+    assert "`inline code`" in md
+    assert "[relative link](deep/page.html \"t\")" in md
+    # NB: cleaned_html's whitespace squeeze (replace("  "," "), one pass —
+    # same quirk as the reference's cleanup, content_scraping_strategy.py:1089)
+    # halves the 4-space indent before markdown sees it.
+    assert "```\ndef f():\n  return 1\n```" in md
+    assert "- alpha" in md and "- beta" in md
+    assert "| col1 | col2 |" in md
+    assert "| v1 | v2 |" in md
+    assert "![big image](/big.png)" in md
+
+
+def test_citations():
+    md = "see [one](https://a.example/1) and [two](https://a.example/2) and [one again](https://a.example/1)"
+    cited, refs = links_to_citations(md, "")
+    assert "one⟨1⟩" in cited and "two⟨2⟩" in cited and "one again⟨1⟩" in cited
+    assert "## References" in refs
+    assert "⟨1⟩ https://a.example/1: one" in refs
+    assert "⟨2⟩ https://a.example/2: two" in refs
+
+
+def test_citations_relative_join():
+    md = "[x](deep/a.html)"
+    cited, refs = links_to_citations(md, URL)
+    assert "⟨1⟩ https://www.site.example/dir/deep/a.html" in refs
+
+
+def test_pruning_keeps_article_drops_chrome():
+    blocks, fit_html = prune_fit_html(FIXTURE)
+    joined = "\n".join(blocks)
+    assert "main article body" in joined
+    assert "home" not in joined  # nav stripped
+    assert "copyright" not in joined  # footer stripped
+    assert "short ad text" not in joined  # sidebar pruned by class+density
+    assert fit_html.startswith("<div>")
+
+
+def test_pruning_deterministic():
+    a = prune_fit_html(FIXTURE)
+    b = prune_fit_html(FIXTURE)
+    assert a == b
+
+
+def test_pruning_threshold_monotone():
+    lo, _ = prune_fit_html(FIXTURE, threshold=0.1)
+    hi, _ = prune_fit_html(FIXTURE, threshold=0.9)
+    assert len("".join(hi)) <= len("".join(lo))
+
+
+def test_scrape_empty_and_garbage():
+    assert scrape_page("", URL)["success"]
+    r = scrape_page("<<<%%% not html at all", URL)
+    assert r["success"]
+    assert r["links"] == []
+
+
+def test_extract_pages_spark(pages, spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.plans import extract_pages
+
+    out = extract_pages(pages.limit(50)).cache()
+    assert out.count() == 50
+    agg = out.select(
+        F.sum(F.when(F.col("scrape.lang") == F.col("lang"), 1).otherwise(0)).alias("lang_ok"),
+        F.sum(F.size("scrape.links")).alias("links"),
+        F.sum(F.size("scrape.tables")).alias("tables"),
+    ).collect()[0]
+    assert agg.lang_ok == 50
+    assert agg.links == 50 * 6
+    assert agg.tables == 50
+    row = out.select("markdown.*").first()
+    assert row.raw_markdown and "# Heading" in row.raw_markdown
+    assert "⟨1⟩" in row.markdown_with_citations or "⟨1⟩" in row.references_markdown
