@@ -1,0 +1,233 @@
+"""URL filters as Catalyst Column expressions (SURVEY.md §2.2, F1-F9).
+
+Behavioral spec: /root/reference/crawl4ai/deep_crawling/filters.py —
+FilterChain :69-116, URLPatternFilter :119-255 (categorized suffix/prefix/
+domain/path matchers incl. the /api/ path-boundary rule :234-244),
+ContentTypeFilter :258-421 (extension→MIME, extensionless URLs PASS
+:412-413), DomainFilter :424-498 (subdomain-inclusive allow/block);
+nonsense-URL filter: async_url_seeder.py:1284-1378 (NB sections 4-8 are
+commented out in the reference — only robots/sitemap/utility files, hidden
+paths, non-content paths, print patterns, and too-short paths are active).
+
+Everything compiles to JVM predicates; Catalyst pushes what it can into the
+parquet scan. A FilterChain is a conjunction — no short-circuit machinery
+needed, the row-level evaluator already stops at the first false conjunct.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.urls import host_col, path_col
+
+
+def _path_no_query(url: Column) -> Column:
+    return F.substring_index(url, "?", 1)
+
+
+def url_pattern_filter(url: Column, patterns: list[str], reverse: bool = False) -> Column:
+    """Glob/regex URL pattern match with the reference's categorized
+    semantics: ``*.ext`` suffix, ``prefix/*`` with path-boundary check,
+    ``*.domain.com`` with scheme, regex passthrough for ^/$/\\d patterns,
+    fnmatch-translated globs otherwise. OR across patterns; ``reverse``
+    negates the result."""
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    conds: list[Column] = []
+    for p in patterns:
+        is_regex = p.startswith("^") or p.endswith("$") or "\\d" in p
+        if is_regex:
+            conds.append(url.rlike(p))
+        elif p.count("*") == 1 and p.startswith("*."):
+            suffix = p[2:]
+            last_seg = F.substring_index(F.substring_index(_path_no_query(url), "/", -1), ".", -1)
+            conds.append(last_seg == suffix)
+        elif p.count("*") == 1 and p.endswith("/*"):
+            prefix = p[:-2]
+            path = _path_no_query(url)
+            after = F.substring(path, len(prefix) + 1, 1)
+            conds.append(
+                path.startswith(prefix) & ((after == "") | after.isin("/", "?", "#"))
+            )
+        elif "://" in p and p.startswith("*."):
+            conds.append(url.rlike("^" + re.escape(p).replace(r"\*\.", r"[^/]+\.")))
+        else:
+            g = p
+            if "**" in g:
+                g = g.replace("**", "*")
+            if "{" in g:
+                g = re.sub(r"\{([^}]+)\}", lambda m: f'({"|".join(m.group(1).split(","))})', g)
+                # fnmatch would escape our alternation; translate around it
+                rx = fnmatch.translate(g)
+                rx = rx.replace(r"\(", "(").replace(r"\)", ")").replace(r"\|", "|")
+            else:
+                rx = fnmatch.translate(g)
+            conds.append(url.rlike(rx))
+    result = conds[0]
+    for c in conds[1:]:
+        result = result | c
+    return ~result if reverse else result
+
+
+# Common extension→MIME prefixes (subset of the reference's 95-entry map,
+# filters.py:264-360; same shape, re-derived from public MIME tables).
+_EXT_MIME = {
+    "html": "text/html", "htm": "text/html", "xhtml": "application/xhtml+xml",
+    "txt": "text/plain", "md": "text/plain", "css": "text/css",
+    "js": "application/javascript", "json": "application/json",
+    "xml": "application/xml", "rss": "application/rss+xml",
+    "pdf": "application/pdf", "doc": "application/msword",
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xls": "application/vnd.ms-excel", "csv": "text/csv",
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "webp": "image/webp", "svg": "image/svg+xml",
+    "ico": "image/x-icon", "mp4": "video/mp4", "webm": "video/webm",
+    "mp3": "audio/mpeg", "wav": "audio/wav", "ogg": "audio/ogg",
+    "zip": "application/zip", "gz": "application/gzip",
+    "tar": "application/x-tar", "woff": "font/woff", "woff2": "font/woff2",
+}
+
+
+def content_type_filter(url: Column, allowed_types: list[str]) -> Column:
+    """Keep URLs whose path extension maps to an allowed MIME family;
+    extensionless URLs always pass (reference filters.py:412-413)."""
+    allowed_exts = [
+        ext for ext, mime in _EXT_MIME.items()
+        if any(a in mime for a in allowed_types)
+    ]
+    path = _path_no_query(url)
+    last_seg = F.substring_index(path, "/", -1)
+    ext = F.when(
+        last_seg.contains("."), F.lower(F.substring_index(last_seg, ".", -1))
+    ).otherwise(F.lit(""))
+    return (ext == "") | ext.isin(allowed_exts)
+
+
+def domain_filter(
+    url: Column,
+    allowed_domains: list[str] | None = None,
+    blocked_domains: list[str] | None = None,
+) -> Column:
+    """Subdomain-inclusive allow/block (d == p or d.endswith('.'+p)).
+    NB the reference extracts the domain with ``://([^/]+)`` — the PORT is
+    kept — so we match on the raw netloc, not host_col."""
+    netloc = F.lower(F.regexp_extract(url, r"://([^/]+)", 1))
+
+    def matches(domains: list[str]) -> Column:
+        cond = F.lit(False)
+        for d in domains:
+            d = d.lower()
+            cond = cond | (netloc == d) | netloc.endswith("." + d)
+        return cond
+
+    result = F.lit(True)
+    if blocked_domains:
+        result = result & ~matches(blocked_domains)
+    if allowed_domains:
+        result = result & matches(allowed_domains)
+    return result
+
+
+_UTILITY_FILES = [
+    "ads.txt", "humans.txt", "security.txt", ".well-known/security.txt",
+    "crossdomain.xml", "browserconfig.xml", "manifest.json",
+    "apple-app-site-association", ".well-known/apple-app-site-association",
+    "favicon.ico", "apple-touch-icon.png", "android-chrome-192x192.png",
+]
+
+_NON_CONTENT_PATHS = [
+    "/wp-admin", "/wp-includes", "/wp-content/uploads",
+    "/admin", "/login", "/signin", "/signup", "/register",
+    "/checkout", "/cart", "/account", "/profile",
+    "/search", "/404", "/error",
+    "/.git", "/.svn", "/.hg",
+    "/cgi-bin", "/scripts", "/includes",
+]
+
+_SHORT_PATH_WHITELIST = ["/", "/en", "/de", "/fr", "/es", "/it"]
+
+
+def nonsense_url_filter(url: Column) -> Column:
+    """TRUE when the URL is worth crawling (i.e. NOT nonsense). Mirrors the
+    ACTIVE branches of the reference's _is_nonsense_url only."""
+    path = F.lower(path_col(url))
+    url_lower = F.lower(url)
+
+    robots_sitemap = (
+        path.endswith("/robots.txt")
+        | path.endswith("/sitemap.xml")
+        | path.endswith("/sitemap_index.xml")
+    )
+    sitemap_variant = path.contains("/sitemap") & (
+        path.endswith(".xml") | path.endswith(".xml.gz") | path.endswith(".txt")
+    )
+    utility = F.lit(False)
+    for f in _UTILITY_FILES:
+        utility = utility | path.endswith("/" + f)
+    hidden = F.exists(
+        F.filter(F.split(path, "/"), lambda seg: seg != ""),
+        lambda seg: seg.startswith("."),
+    )
+    non_content = F.lit(False)
+    for ncp in _NON_CONTENT_PATHS:
+        non_content = non_content | path.contains(ncp)
+    printish = (
+        url_lower.contains("?print=")
+        | url_lower.contains("&print=")
+        | url_lower.contains("/print/")
+        | url_lower.contains("_print.")
+    )
+    too_short = (F.length(F.regexp_replace(path, "^/+|/+$", "")) < 3) & ~path.isin(
+        _SHORT_PATH_WHITELIST
+    )
+    nonsense = (
+        robots_sitemap | sitemap_variant | utility | hidden | non_content | printish | too_short
+    )
+    return ~nonsense
+
+
+def url_validity_filter(url: Column, depth: Column | None = None) -> Column:
+    """F8 validity gate with the depth-0 bypass (reference
+    bfs_strategy.py:46-66: seeds skip filtering)."""
+    from crawl4ai_spark.functions.urls import url_valid_col
+
+    valid = url_valid_col(url)
+    if depth is not None:
+        return (depth == 0) | valid
+    return valid
+
+
+class FilterChain:
+    """Conjunction of filter Columns with pass/reject stats (F1).
+
+    Usage::
+
+        chain = FilterChain([cond1, cond2, ...])
+        kept = chain.apply(df)        # filtered DataFrame
+        stats = chain.stats(df)       # one-row DataFrame: total/passed/rejected
+    """
+
+    def __init__(self, conditions: list[Column]):
+        self.conditions = conditions
+
+    def condition(self) -> Column:
+        if not self.conditions:
+            return F.lit(True)
+        cond = self.conditions[0]
+        for c in self.conditions[1:]:
+            cond = cond & c
+        return cond
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.condition())
+
+    def stats(self, df: DataFrame) -> DataFrame:
+        passed = F.sum(self.condition().cast("long")).alias("passed")
+        total = F.count(F.lit(1)).alias("total")
+        return df.agg(total, passed).select(
+            "total", "passed", (F.col("total") - F.col("passed")).alias("rejected")
+        )

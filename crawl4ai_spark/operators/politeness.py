@@ -1,0 +1,114 @@
+"""Per-host politeness budgets as salted window ranks (SURVEY.md §2.7 P1/P6).
+
+The reference rate-limits with per-netloc asyncio sleeps
+(async_dispatcher.py:43-83). In a batch iteration of wall-budget T seconds,
+that is equivalent to admitting ``floor(T / delay_host)`` URLs per host per
+iteration — a deterministic budget (the reference's unseeded RNG is replaced
+by fixed delays; the north rule defines parity on the budget, not on sleep
+timing).
+
+Scale design: a plain ``Window.partitionBy(host)`` serializes the hot host
+into one task (host0 holds ~40% of our corpus by construction). We therefore
+rank in two passes:
+
+1. salt pass — rank within (host, salt_bucket), keep ≤ budget per bucket.
+   The hot host's rows spread over ``salt`` tasks; each discards all but
+   ``budget`` rows, so pass 2 sees ≤ salt·budget rows per host, no matter
+   how skewed the input.
+2. exact pass — rank within host over the tiny survivor set, keep ≤ budget.
+
+The result is byte-identical to the naive single window (the composition of
+per-bucket top-k and global top-k is global top-k, since every global
+top-budget row is also in its bucket's top-budget), but the worst task in
+pass 1 shrinks by ~salt×. AQE's skew handling covers joins, not windows —
+this is the hand-built equivalent for windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def host_budget_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    host: str = "host",
+    budget: int | Column = 10,
+    salt: int = 16,
+    rank_col: str = "host_rank",
+) -> DataFrame:
+    """Adds ``rank_col`` = 1-based politeness rank within host, computed via
+    the salted two-pass scheme, and drops rows beyond the budget.
+
+    ``budget`` may be an int (uniform) or a Column (per-host, e.g. joined
+    from a host_state table)."""
+    budget_col = F.lit(budget) if isinstance(budget, int) else budget
+    df = df.withColumn("_budget", budget_col)
+
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in order_cols]),
+        F.lit(salt),
+    )
+    df = df.withColumn("_salt", salt_col)
+    w1 = Window.partitionBy(host, "_salt").orderBy(
+        *[F.col(c).asc() if isinstance(c, str) else c.asc() for c in order_cols]
+    )
+    pass1 = df.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("_budget")
+    )
+
+    w2 = Window.partitionBy(host).orderBy(
+        *[F.col(c).asc() if isinstance(c, str) else c.asc() for c in order_cols]
+    )
+    out = (
+        pass1.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= F.col("_budget"))
+        .drop("_salt", "_r1", "_budget")
+    )
+    return out
+
+
+def apply_host_budget(
+    df: DataFrame,
+    order_cols: list[str],
+    host: str = "host",
+    budget: int | Column = 10,
+    salt: int = 16,
+) -> DataFrame:
+    """Budget-enforced frontier slice (rank column dropped)."""
+    return host_budget_rank(df, order_cols, host=host, budget=budget, salt=salt).drop(
+        "host_rank"
+    )
+
+
+def evolve_host_state(
+    host_state: DataFrame, fetch_results: DataFrame, max_delay: float = 60.0
+) -> DataFrame:
+    """Deterministic variant of RateLimiter.update_delay (spec:
+    async_dispatcher.py:63-83): any 429/503 on the host this iteration →
+    delay = min(delay·2, max); all success → delay = max(base·0.75 clamp,
+    delay·0.75); fail_count accumulates / resets.
+
+    ``fetch_results`` needs (host, status_code). Returns the new host_state.
+    """
+    per_host = fetch_results.groupBy("host").agg(
+        F.sum(F.when(F.col("status_code").isin(429, 503), 1).otherwise(0)).alias(
+            "throttled"
+        )
+    )
+    joined = host_state.join(per_host, "host", "left").fillna({"throttled": 0})
+    return joined.select(
+        "host",
+        F.when(
+            F.col("throttled") > 0,
+            F.least(F.col("current_delay") * 2.0, F.lit(max_delay)),
+        )
+        .otherwise(F.greatest(F.col("current_delay") * 0.75, F.lit(0.5)))
+        .alias("current_delay"),
+        F.when(F.col("throttled") > 0, F.col("fail_count") + 1)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("fail_count"),
+        (F.col("last_iter") + 1).alias("last_iter"),
+    )

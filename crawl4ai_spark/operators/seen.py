@@ -1,0 +1,126 @@
+"""URL-seen set: partitioned Bloom pre-filter + exact anti-join (J2).
+
+The reference's seen set is an in-process ``Set[str]``
+(bfs_strategy.py:152) — impossible at 10^10 URLs. The north-rule design:
+
+- EXACTNESS comes from a ``LEFT ANTI JOIN`` of candidates against the seen
+  table on the T2-normalized URL key. This is the ground truth.
+- BANDWIDTH comes from a Bloom filter built per partition (numpy bitsets in
+  ``mapInPandas``), OR-merged on the driver, and broadcast to the next
+  iteration: candidates that the bloom says are definitely-new skip the
+  anti-join shuffle entirely; only bloom-positive candidates (a small,
+  false-positive-inflated slice) pay the join.
+
+At cluster scale the bitset size is chosen per expected cardinality
+(n=10^10, p=1% → ~12 GB total, sharded per partition range; here a single
+array suffices). Spark's JVM ``DataFrameStatFunctions.bloomFilter`` is not
+exposed to arbitrary Python predicates, hence the numpy implementation.
+
+Keys are 64-bit ``xxhash64`` values computed JVM-side; Python only ever
+sees int64 batches through Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class BloomFilterSet:
+    """Fixed-size Bloom filter over int64 keys, numpy-vectorized."""
+
+    def __init__(self, num_bits: int = 1 << 23, num_hashes: int = 5, bits: np.ndarray | None = None):
+        assert num_bits % 8 == 0
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.bits = bits if bits is not None else np.zeros(num_bits // 8, dtype=np.uint8)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64)
+        h1 = h % np.uint64(self.num_bits)
+        # odd second hash → full period stride
+        h2 = ((h >> np.uint64(33)) | np.uint64(1)) % np.uint64(self.num_bits)
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.num_bits)
+
+    def add(self, hashes: np.ndarray) -> None:
+        pos = self._positions(np.asarray(hashes)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> 3).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(hashes))
+        byte = self.bits[(pos >> 3).astype(np.int64)]
+        bit = (1 << (pos & np.uint64(7))).astype(np.uint8)
+        return ((byte & bit) != 0).all(axis=1)
+
+    def merge(self, other: "BloomFilterSet") -> "BloomFilterSet":
+        assert self.num_bits == other.num_bits and self.num_hashes == other.num_hashes
+        return BloomFilterSet(self.num_bits, self.num_hashes, self.bits | other.bits)
+
+
+def build_bloom(
+    df: DataFrame, key: str = "url_norm", num_bits: int = 1 << 23, num_hashes: int = 5
+) -> BloomFilterSet:
+    """Distributed build: per-partition numpy bitsets via mapInPandas,
+    OR-merged on the driver (SURVEY.md §4 custom-work item 1)."""
+    hashed = df.select(F.xxhash64(F.col(key)).alias("h"))
+
+    def per_partition(batches):
+        bf = BloomFilterSet(num_bits, num_hashes)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                bf.add(pdf["h"].to_numpy())
+        if any_rows:
+            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    parts = hashed.mapInPandas(per_partition, "bits binary").collect()
+    out = BloomFilterSet(num_bits, num_hashes)
+    for row in parts:
+        out.bits |= np.frombuffer(row.bits, dtype=np.uint8)
+    return out
+
+
+def bloom_maybe_contains_col(spark, bloom: BloomFilterSet, key: Column) -> Column:
+    """Column: True when the bloom MAY contain xxhash64(key). Broadcast the
+    bitset once per call site (executors fetch it lazily)."""
+    bits_bc = spark.sparkContext.broadcast(bloom.bits.tobytes())
+    num_bits, num_hashes = bloom.num_bits, bloom.num_hashes
+
+    @F.pandas_udf(T.BooleanType())
+    def _maybe(h: pd.Series) -> pd.Series:
+        bf = BloomFilterSet(
+            num_bits, num_hashes, np.frombuffer(bits_bc.value, dtype=np.uint8)
+        )
+        return pd.Series(bf.maybe_contains(h.to_numpy()), dtype="bool")
+
+    return _maybe(F.xxhash64(key))
+
+
+def dedup_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    key: str = "url_norm",
+    bloom: BloomFilterSet | None = None,
+) -> DataFrame:
+    """Exact dedup: candidates not present in ``seen``. With a bloom, rows
+    the bloom calls definitely-new bypass the anti-join shuffle; only
+    bloom-positive rows are joined (false positives are then cleared by the
+    exact join)."""
+    if seen is None:
+        return candidates
+    seen_keys = seen.select(key).distinct()
+    if bloom is None:
+        return candidates.join(seen_keys, on=key, how="left_anti")
+    spark = candidates.sparkSession
+    flagged = candidates.withColumn(
+        "_maybe_seen", bloom_maybe_contains_col(spark, bloom, F.col(key))
+    )
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    checked = needs_check.join(seen_keys, on=key, how="left_anti")
+    return definitely_new.unionByName(checked)

@@ -1,0 +1,375 @@
+"""The frontier iteration loop — BFS / best-first deep crawl as batch
+Spark jobs over snapshot tables (SURVEY.md §7 M2; behavioral spec:
+/root/reference/crawl4ai/deep_crawling/bfs_strategy.py:142-192 BFS loop,
+link_discovery :68-140; bff_strategy.py:129-213 best-first).
+
+One iteration =
+  1. rank the frontier        — per-host politeness budget (salted window)
+                                then global priority rank (depth,score,ts)
+  2. robots gate              — broadcast join + can_fetch UDF, fail-open;
+                                blocked rows become 403 results, never retried
+  3. fetch                    — LEFT JOIN against the pages table (the web
+                                is a table here); unmatched rows = 404
+  4. extract                  — scrape/markdown Arrow UDFs (plans/extract)
+  5. link discovery           — explode links, T2-normalize, validity +
+                                filter chain, score, threshold, capacity top-k
+  6. dedup                    — bloom pre-filter + exact anti-join vs seen
+                                (seen = ENQUEUED set, as in the reference:
+                                visited.add happens at enqueue, not fetch)
+  7. commit                   — results/seen/lineage appends + frontier
+                                replace, each an atomic snapshot; the
+                                iteration number in the manifest is the
+                                resume point.
+
+Determinism: every ordering is a rank over (depth, score, warc_ts) /
+(score, depth, warc_ts) per the north rule; duplicate discoveries collapse
+to min(depth) with lexicographic-min parent tie-break (reference records
+first-discovery depth, bff_strategy.py:209 — async arrival order is
+nondeterministic there, min() is the agreed determinization).
+
+Scale: no driver-side loops over rows — the driver only runs the iteration
+while-loop and reads scalar counters. Joins: pages join is the big one
+(AQE skew-split enabled; frontier side is budget-bounded so it broadcasts
+when small). Seen anti-join is bloom-pre-filtered. Politeness windows are
+salted. Everything else is narrow.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.urlnorm import normalize_deep_udf
+from crawl4ai_spark.functions.urls import host_col, url_valid_col
+from crawl4ai_spark.operators.politeness import host_budget_rank
+from crawl4ai_spark.operators.ranking import priority_rank
+from crawl4ai_spark.operators.robots import apply_robots_gate
+from crawl4ai_spark.operators.seen import build_bloom, dedup_against_seen
+from crawl4ai_spark.plans.extract import markdown_udf, scrape_udf
+from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+
+@dataclass
+class CrawlConfig:
+    mode: str = "bfs"  # 'bfs' | 'best_first'
+    max_pages: int = 100
+    max_depth: int = 10
+    host_budget: int = 10  # URLs per host per iteration (politeness)
+    iteration_budget: int | None = None  # global cap per iteration (best-first BATCH_SIZE analog)
+    salt: int = 16
+    score_threshold: float = float("-inf")
+    include_external: bool = False
+    check_robots: bool = True
+    bloom_bits: int = 1 << 23
+    # extra filter Columns applied to discovered candidate urls
+    filter_conditions: list = field(default_factory=list)
+    # scorer: callable(url Column) -> score Column; default 0.0 (BFS order)
+    scorer: Callable | None = None
+
+
+def _zero_scorer(url_col):
+    return F.lit(0.0)
+
+
+class CrawlRun:
+    """A resumable crawl over snapshot tables rooted at ``workdir``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame | None,
+        seeds: DataFrame,
+        workdir: str,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.robots = robots
+        self.seeds = seeds
+        self.config = config or CrawlConfig()
+        self.t_frontier = SnapshotTable(os.path.join(workdir, "frontier"))
+        self.t_seen = SnapshotTable(os.path.join(workdir, "seen"))
+        self.t_results = SnapshotTable(os.path.join(workdir, "results"))
+        self.t_lineage = SnapshotTable(os.path.join(workdir, "lineage"))
+        self.scorer = self.config.scorer or _zero_scorer
+
+    # -- state ---------------------------------------------------------------
+
+    def state(self) -> dict:
+        meta = self.t_frontier.snapshot_meta() or {}
+        return {
+            "iteration": meta.get("iteration", -1),
+            "pages_crawled": meta.get("pages_crawled", 0),
+        }
+
+    def _bootstrap(self) -> None:
+        """Iteration -1 → 0: seed the frontier and the seen set."""
+        seeds = self.seeds.select(
+            F.col("url"),
+            normalize_deep_udf(F.col("url"), F.col("url")).alias("url_norm"),
+            host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(0.0).alias("score"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).alias("discovered_iter"),
+        )
+        seeds = seeds.dropDuplicates(["url_norm"]).cache()
+        self.t_frontier.replace(seeds, {"iteration": 0, "pages_crawled": 0})
+        self.t_seen.replace(
+            seeds.select("url_norm", F.xxhash64("url_norm").alias("url_hash"),
+                         "depth", F.lit(0).alias("first_iter"))
+        )
+        seeds.unpersist()
+
+    # -- one iteration ---------------------------------------------------------
+
+    def run_iteration(self) -> dict:
+        """Run one frontier iteration; returns counters (empty frontier →
+        {'done': True})."""
+        cfg = self.config
+        st = self.state()
+        if st["iteration"] < 0:
+            self._bootstrap()
+            st = self.state()
+        iteration = st["iteration"]
+        pages_crawled = st["pages_crawled"]
+        remaining = cfg.max_pages - pages_crawled
+        if remaining <= 0:
+            return {"done": True, "reason": "max_pages"}
+
+        frontier = self.t_frontier.read(self.spark)
+        if frontier is None or frontier.isEmpty():
+            return {"done": True, "reason": "frontier_empty"}
+        t0 = time.time()
+
+        order_cols = (
+            ["depth", "score", "warc_ts_hint"]
+            if cfg.mode == "bfs"
+            else ["score", "depth", "warc_ts_hint"]
+        )
+        # warc_ts is a property of the PAGE; the frontier doesn't know it
+        # yet. The deterministic stand-in for ranking is the url itself
+        # (unique, stable); a production frontier carries last-seen warc_ts.
+        frontier = frontier.withColumn("warc_ts_hint", F.col("url"))
+
+        # 1. politeness budget per host (salted two-pass window), then
+        #    global rank + iteration budget.
+        budgeted = host_budget_rank(
+            frontier, order_cols, host="host", budget=cfg.host_budget, salt=cfg.salt
+        )
+        global_budget = min(remaining, cfg.iteration_budget or remaining)
+        selected = priority_rank(
+            budgeted, mode=cfg.mode, budget=global_budget, tiebreak="warc_ts_hint"
+        )
+        selected = selected.drop("warc_ts_hint").cache()
+        n_selected = selected.count()
+        if n_selected == 0:
+            return {"done": True, "reason": "budget_zero"}
+
+        # deferred rows stay in the frontier for the next iteration
+        deferred = frontier.join(selected.select("url_norm"), "url_norm", "left_anti").drop(
+            "warc_ts_hint"
+        )
+
+        # 2. robots gate (fail-open; blocked → 403 results, not retried)
+        if cfg.check_robots and self.robots is not None:
+            gated = apply_robots_gate(selected, self.robots)
+        else:
+            gated = selected.withColumn("robots_allowed", F.lit(True))
+        gated = gated.cache()
+        blocked = gated.filter(~F.col("robots_allowed"))
+        allowed = gated.filter(F.col("robots_allowed"))
+
+        # 3. fetch = left join against the pages table (J6)
+        fetched = allowed.join(
+            self.pages.withColumnRenamed("url", "page_url"),
+            F.col("url") == F.col("page_url"),
+            "left",
+        ).drop("page_url")
+        fetched = fetched.withColumn(
+            "status_code", F.when(F.col("html").isNotNull(), 200).otherwise(404)
+        )
+
+        # 4. extract (Arrow pandas UDFs) — only rows with a body
+        extracted = fetched.withColumn(
+            "scrape",
+            F.when(
+                F.col("status_code") == 200, scrape_udf(F.col("html"), F.col("url"))
+            ),
+        ).withColumn(
+            "markdown",
+            F.when(
+                F.col("status_code") == 200,
+                markdown_udf(F.col("scrape.cleaned_html"), F.col("url")),
+            ),
+        )
+
+        results = extracted.select(
+            "url", "url_norm", "host", "depth", "score", "parent_url",
+            "status_code",
+            F.col("warc_ts"),
+            F.col("scrape.cleaned_html").alias("cleaned_html"),
+            F.col("scrape.text").alias("text"),
+            F.col("scrape.links").alias("links"),
+            F.col("scrape.metadata").alias("metadata"),
+            F.col("scrape.lang").alias("lang"),
+            F.col("markdown.raw_markdown").alias("raw_markdown"),
+            F.col("markdown.fit_markdown").alias("fit_markdown"),
+            F.col("visit_rank"),
+            (F.col("status_code") == 200).alias("success"),
+        ).unionByName(
+            blocked.select(
+                "url", "url_norm", "host", "depth", "score", "parent_url",
+                F.lit(403).alias("status_code"),
+                F.lit(None).cast("timestamp").alias("warc_ts"),
+                F.lit(None).cast("string").alias("cleaned_html"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast(
+                    "array<struct<href:string,text:string,title:string,base_domain:string,is_external:boolean,intrinsic_score:double>>"
+                ).alias("links"),
+                F.lit(None).cast("map<string,string>").alias("metadata"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("raw_markdown"),
+                F.lit(None).cast("string").alias("fit_markdown"),
+                F.col("visit_rank"),
+                F.lit(False).alias("success"),
+            )
+        )
+        results = results.withColumn("iteration", F.lit(iteration)).withColumn(
+            "visit_order", F.lit(pages_crawled) + F.col("visit_rank")
+        ).drop("visit_rank")
+        results = results.cache()
+        n_results = results.count()
+        n_blocked = results.filter("status_code = 403").count()
+        n_fetched = results.filter("success").count()
+
+        # 5. link discovery
+        discovered = (
+            results.filter("success")
+            .filter(F.col("depth") < cfg.max_depth)
+            .select(
+                F.col("url").alias("parent_url"),
+                F.col("depth").alias("parent_depth"),
+                F.explode("links").alias("link"),
+            )
+        )
+        if not cfg.include_external:
+            discovered = discovered.filter(~F.col("link.is_external"))
+        candidates = discovered.select(
+            F.col("link.href").alias("url"),
+            normalize_deep_udf(F.col("link.href"), F.col("parent_url")).alias("url_norm"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.col("parent_url"),
+        )
+        candidates = candidates.filter(url_valid_col(F.col("url")))
+        for cond_fn in cfg.filter_conditions:
+            candidates = candidates.filter(cond_fn(F.col("url")))
+
+        # duplicate discoveries within the iteration → first-writer-wins:
+        # min depth, then lexicographic min parent (deterministic)
+        candidates = candidates.groupBy("url_norm").agg(
+            F.min_by("url", F.struct("depth", "parent_url", "url")).alias("url"),
+            F.min("depth").alias("depth"),
+            F.min_by("parent_url", F.struct("depth", "parent_url")).alias("parent_url"),
+        )
+        # score the chosen representative URL (scorers are pure URL fns)
+        candidates = candidates.withColumn("score", self.scorer(F.col("url")))
+        if cfg.score_threshold != float("-inf"):
+            candidates = candidates.filter(F.col("score") >= cfg.score_threshold)
+
+        # 6. dedup vs seen (bloom pre-filter + exact anti-join)
+        seen_df = self.t_seen.read(self.spark)
+        bloom = build_bloom(seen_df, num_bits=cfg.bloom_bits) if seen_df is not None else None
+        new_urls = dedup_against_seen(candidates, seen_df, bloom=bloom)
+
+        # capacity top-k: if more new URLs than remaining page budget, keep
+        # best by score DESC (O4 semantics), deterministic url tie-break
+        new_urls = new_urls.withColumn("host", host_col(F.col("url"))).withColumn(
+            "discovered_iter", F.lit(iteration + 1)
+        )
+        remaining_after = remaining - n_results
+        if remaining_after <= 0:
+            new_urls = new_urls.limit(0)
+        else:
+            w = Window.orderBy(F.col("score").desc(), F.col("url").asc())
+            new_urls = (
+                new_urls.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= remaining_after)
+                .drop("_r")
+            )
+        new_urls = new_urls.select(
+            "url", "url_norm", "host", "depth", "score", "parent_url", "discovered_iter"
+        ).cache()
+        n_new = new_urls.count()
+
+        # 7. per-partition lineage + commit
+        lineage = selected.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("urls_in")
+        ).select(
+            F.lit(iteration).alias("iteration"),
+            "partition_id",
+            "urls_in",
+            F.lit(n_fetched).alias("fetched"),
+            F.lit(n_new).alias("deduped"),
+            F.lit(n_blocked).alias("robots_blocked"),
+            F.lit(n_new).alias("emitted"),
+            F.lit(t0).alias("t_start"),
+            F.lit(time.time()).alias("t_end"),
+        )
+
+        self.t_results.append(results, {"iteration": iteration})
+        self.t_seen.append(
+            new_urls.select(
+                "url_norm",
+                F.xxhash64("url_norm").alias("url_hash"),
+                "depth",
+                F.lit(iteration + 1).alias("first_iter"),
+            )
+        )
+        next_frontier = deferred.unionByName(new_urls)
+        self.t_frontier.replace(
+            next_frontier,
+            {"iteration": iteration + 1, "pages_crawled": pages_crawled + n_results},
+        )
+        self.t_lineage.append(lineage, {"iteration": iteration})
+
+        for df in (selected, gated, results, new_urls):
+            df.unpersist()
+        return {
+            "done": False,
+            "iteration": iteration,
+            "selected": n_selected,
+            "fetched": n_fetched,
+            "robots_blocked": n_blocked,
+            "new_urls": n_new,
+            "pages_crawled": pages_crawled + n_results,
+            "seconds": time.time() - t0,
+        }
+
+    def run(self, max_iterations: int = 100) -> list[dict]:
+        """Run until done or ``max_iterations``; resumable — a new CrawlRun
+        over the same workdir continues from the last committed snapshot."""
+        stats = []
+        for _ in range(max_iterations):
+            s = self.run_iteration()
+            stats.append(s)
+            if s.get("done"):
+                break
+        return stats
+
+    # -- outputs ---------------------------------------------------------------
+
+    def results(self) -> DataFrame | None:
+        return self.t_results.read(self.spark)
+
+    def seen(self) -> DataFrame | None:
+        return self.t_seen.read(self.spark)
+
+    def lineage(self) -> DataFrame | None:
+        return self.t_lineage.read(self.spark)

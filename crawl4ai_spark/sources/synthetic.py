@@ -15,10 +15,10 @@ Corpus properties (all pure functions of ``doc_id``):
 - hosts: ``host{0..19}.example`` with deliberate skew — ids with
   ``doc_id % 5 < 2`` land on host0 (~40% of the corpus), the hot-host
   stressor for salted politeness windows (SURVEY.md §2.7 P6).
-- link graph: each page links to ``(2i+1) % N``, ``(2i+2) % N`` and a cross
-  link ``(7i+3) % N`` carrying tracking params + fragment
-  (``?utm_source=x&b=2&a=1#frag``) to exercise URL normalization, plus one
-  external link. Cycle-rich, so the URL-seen set does real work.
+- link graph: each page links to ``(2i+1) % N``, ``(2i+2) % N``, a cross
+  link ``(7i+3) % N``, a tracking-param+fragment DUPLICATE of child one
+  (``?utm_source=x&fbclid=y#frag`` — both normalizers must collapse it),
+  plus one external link. Cycle-rich, so the URL-seen set does real work.
 - robots: hosts with ``host_id % 4 == 0`` disallow the path prefix
   ``/p/1`` (prefix semantics: blocks every id whose decimal form starts
   with "1"); ``host7.example`` disallows everything. Everything else allows.
@@ -84,7 +84,10 @@ def _html_expr(dialect: str) -> str:
         + " || '\" width=\"300\" height=\"200\">"
         "<a href=\"' || " + url("c1") + " || '\">child one</a> "
         "<a href=\"' || " + url("c2") + " || '\">child two</a> "
-        "<a href=\"' || " + url("cx") + " || '?utm_source=x&b=2&a=1#frag\">cross link</a> "
+        "<a href=\"' || " + url("cx") + " || '\">cross link</a> "
+        # tracking-param + fragment duplicate of child one: both normalizers
+        # must collapse it onto the clean link (seen-set dedup exerciser)
+        "<a href=\"' || " + url("c1") + " || '?utm_source=x&fbclid=y#frag\">tracking dup</a> "
         "<a href=\"https://external' || " + s("doc_id % 5") + " || '.example/x\">external</a>"
         "</article>"
         '<div class="sidebar">Low quality sidebar content with short text</div>'

@@ -1,0 +1,199 @@
+"""Frontier-loop correctness: reference-trace parity, politeness budgets,
+robots gating, dedup, and checkpoint resume.
+
+The trace oracle re-executes the reference's BFS semantics
+(bfs_strategy.py:142-192 + link_discovery :68-140, determinized per the
+north rule) in pure Python over the same deterministic corpus graph.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+from crawl4ai_spark.sources.synthetic import (
+    FULLY_BLOCKED_HOST,
+    N_HOSTS,
+    build_pages,
+    build_robots,
+    build_seeds,
+)
+
+
+def _host_id(i: int) -> int:
+    return 0 if i % 5 < 2 else i % N_HOSTS
+
+
+def _allowed(i: int) -> bool:
+    h = _host_id(i)
+    if h == FULLY_BLOCKED_HOST:
+        return False
+    if h % 4 == 0 and str(i).startswith("1"):
+        return False
+    return True
+
+
+def _url(i: int) -> str:
+    return f"https://host{_host_id(i)}.example/p/{i}"
+
+
+def python_bfs(n_docs: int, seeds: list[int], max_depth: int) -> dict[int, int]:
+    """Reference BFS over the corpus graph: returns {doc_id: first depth}
+    for successfully fetched (robots-allowed) docs. Blocked docs are visited
+    (403) but never expanded."""
+    visited: set[int] = set(seeds)
+    fetched: dict[int, int] = {}
+    level = list(seeds)
+    depth = 0
+    while level and depth <= max_depth:
+        next_level: list[int] = []
+        for i in level:
+            if not _allowed(i):
+                continue  # 403: visited but not expanded
+            fetched[i] = depth
+            if depth == max_depth:
+                continue
+            for j in ((i * 2 + 1) % n_docs, (i * 2 + 2) % n_docs, (i * 7 + 3) % n_docs):
+                if j not in visited:
+                    visited.add(j)
+                    next_level.append(j)
+        level = next_level
+        depth += 1
+    return fetched
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, sf_dir, pages):
+    robots = build_robots(spark)
+    seeds = build_seeds(spark, 3)
+    wd = tempfile.mkdtemp(prefix="crawl_test_")
+    cfg = CrawlConfig(
+        mode="bfs",
+        max_pages=100000,
+        max_depth=4,
+        host_budget=100000,  # unlimited → iteration == BFS level
+        salt=4,
+        include_external=True,
+    )
+    run = CrawlRun(spark, pages.cache(), robots, seeds, wd, cfg)
+    run.run(max_iterations=10)
+    return run
+
+
+def test_bfs_trace_parity(crawl_run, pages):
+    """Fetched set and first-discovery depths equal the reference trace."""
+    n_docs = pages.count()
+    expected = python_bfs(n_docs, [0, 1, 2], max_depth=4)
+    got = {
+        r.url: r.depth
+        for r in crawl_run.results().filter("success").select("url", "depth").collect()
+    }
+    exp_urls = {_url(i): d for i, d in expected.items()}
+    assert got == exp_urls
+
+
+def test_robots_blocked_are_403_not_expanded(crawl_run):
+    res = crawl_run.results()
+    blocked = res.filter("status_code = 403").select("url").collect()
+    assert blocked, "corpus must produce robots blocks"
+    for r in blocked:
+        assert "host7.example" in r.url or "/p/1" in r.url
+    # a blocked page's children discovered ONLY via other parents:
+    # host7 pages are never parents
+    parents = {
+        r.parent_url
+        for r in res.select("parent_url").collect()
+        if r.parent_url is not None
+    }
+    assert not any("host7.example" in p for p in parents)
+
+
+def test_seen_set_unique(crawl_run):
+    seen = crawl_run.seen()
+    assert seen.count() == seen.select("url_norm").distinct().count()
+
+
+def test_visit_order_dense_and_deterministic(crawl_run):
+    res = crawl_run.results().select("visit_order").collect()
+    orders = sorted(r.visit_order for r in res)
+    assert orders == list(range(1, len(orders) + 1))
+
+
+def test_lineage_written(crawl_run):
+    lin = crawl_run.lineage()
+    assert lin is not None
+    iters = sorted({r.iteration for r in lin.collect()})
+    assert iters[0] == 0 and len(iters) >= 3
+
+
+def test_politeness_budget_enforced(spark, pages):
+    robots = build_robots(spark)
+    seeds = build_seeds(spark, 3)
+    wd = tempfile.mkdtemp(prefix="crawl_budget_")
+    cfg = CrawlConfig(
+        mode="bfs", max_pages=200, host_budget=5, salt=4, include_external=True
+    )
+    run = CrawlRun(spark, pages, robots, seeds, wd, cfg)
+    run.run(max_iterations=6)
+    res = run.results()
+    worst = (
+        res.groupBy("iteration", "host").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert worst <= 5
+
+
+def test_resume_equivalence(spark, pages):
+    """Running 4 iterations in one go == 2 + (new CrawlRun) + 2 over the
+    same workdir — snapshot checkpointing makes the crawl resumable."""
+    robots = build_robots(spark)
+    seeds = build_seeds(spark, 3)
+    cfg = CrawlConfig(
+        mode="bfs", max_pages=100000, max_depth=3, host_budget=100000,
+        include_external=True,
+    )
+
+    wd_a = tempfile.mkdtemp(prefix="crawl_once_")
+    run_a = CrawlRun(spark, pages, robots, seeds, wd_a, cfg)
+    run_a.run(max_iterations=4)
+
+    wd_b = tempfile.mkdtemp(prefix="crawl_resumed_")
+    run_b1 = CrawlRun(spark, pages, robots, seeds, wd_b, cfg)
+    run_b1.run(max_iterations=2)
+    # simulate a fresh driver process picking up the same workdir
+    run_b2 = CrawlRun(spark, pages, robots, seeds, wd_b, cfg)
+    run_b2.run(max_iterations=2)
+
+    a = {(r.url, r.depth, r.status_code) for r in run_a.results().collect()}
+    b = {(r.url, r.depth, r.status_code) for r in run_b2.results().collect()}
+    assert a == b
+    assert run_a.state() == run_b2.state()
+
+
+def test_best_first_min_score_first(spark, pages):
+    """Best-first pops LOWEST score first (reference quirk O1)."""
+    from crawl4ai_spark.operators import path_depth_score
+
+    robots = build_robots(spark)
+    seeds = build_seeds(spark, 1)
+    wd = tempfile.mkdtemp(prefix="crawl_bff_")
+    cfg = CrawlConfig(
+        mode="best_first",
+        max_pages=40,
+        iteration_budget=10,  # reference BATCH_SIZE
+        host_budget=100000,
+        include_external=True,
+        scorer=lambda url: path_depth_score(url, optimal_depth=1),
+    )
+    run = CrawlRun(spark, pages, robots, seeds, wd, cfg)
+    run.run(max_iterations=4)
+    res = run.results().orderBy("visit_order").collect()
+    assert len(res) > 10
+    # within one iteration, scores must be non-decreasing in visit order
+    by_iter: dict[int, list[float]] = {}
+    for r in res:
+        by_iter.setdefault(r.iteration, []).append(r.score)
+    for scores in by_iter.values():
+        assert scores == sorted(scores)
