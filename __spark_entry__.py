@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query (a resumable BFS crawl + extraction over
+the synthetic Common-Crawl-style corpus at sf0.001). ``queries`` /
+``oracle_sql`` expose the full operator registry from
+``crawl4ai_spark.contract`` — one Spark implementation + one exact DuckDB
+oracle per operator from SURVEY.md §2 and the datapipe training-data ops.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3 frontier iterations of the BFS crawl (politeness windows,
+    robots gate, fetch join, scrape/markdown UDFs, bloom+anti-join dedup,
+    snapshot checkpoints) on /root/testdata/sf0.001."""
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.synthetic import build_pages, build_robots, build_seeds
+
+    sf_dir = "/root/testdata/sf0.001"
+    workdir = tempfile.mkdtemp(prefix="c4ai_entry_")
+    pages = build_pages(spark, sf_dir)
+    robots = build_robots(spark)
+    seeds = build_seeds(spark, 3)
+    run = CrawlRun(
+        spark,
+        pages,
+        robots,
+        seeds,
+        workdir,
+        CrawlConfig(
+            mode="bfs", max_pages=40, max_depth=3, host_budget=5, iteration_budget=20
+        ),
+    )
+    run.run(max_iterations=3)
+    res = run.results()
+    return res.select(
+        "url",
+        "host",
+        "depth",
+        "status_code",
+        "visit_order",
+        "lang",
+        "success",
+        F.length("raw_markdown").alias("md_len"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawl4ai_spark.contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawl4ai_spark.contract import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+``--scaling`` mode (used for BASELINE.md evidence) runs the extraction
+headline at two parallelism levels in subprocesses and reports throughput
+at each plus the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.contract import QUERIES
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.plans.extract import extract_pages
+    from crawl4ai_spark.session import get_spark
+    from crawl4ai_spark.sources.synthetic import build_pages, build_robots, build_seeds
+
+    spark = get_spark(app_name="crawl4ai_spark-bench", cores=cpus)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM + page corpus (not timed)
+    pages = build_pages(spark, sf_dir).cache()
+    n_pages = pages.count()
+
+    # q1 — the headline: full fetch+extract (scrape + markdown UDFs) over
+    # every page; forces complete materialization via an aggregate.
+    def q_extract():
+        out = extract_pages(pages, "url", "html")
+        return out.agg(
+            F.count(F.lit(1)),
+            F.sum(F.length("markdown.raw_markdown")),
+            F.sum(F.size("scrape.links")),
+        ).collect()
+
+    timed("extract_all", q_extract)
+
+    # q2 — frontier loop: 3 BFS iterations with politeness + robots + dedup
+    def q_crawl():
+        robots = build_robots(spark)
+        seeds = build_seeds(spark, 8)
+        workdir = tempfile.mkdtemp(prefix="c4ai_bench_")
+        run = CrawlRun(
+            spark, pages, robots, seeds, workdir,
+            CrawlConfig(mode="bfs", max_pages=2000, max_depth=4, host_budget=40),
+        )
+        return run.run(max_iterations=3)
+
+    crawl_stats = timed("crawl_bfs_3iter", q_crawl)
+
+    # q3-q6 — contract queries at bench scale
+    for name in ["dedup_minhash_lsh", "dedup_exact", "ann_bruteforce", "text_stats"]:
+        timed(name, lambda n=name: QUERIES[n](spark, sf_dir).agg(F.count(F.lit(1))).collect())
+
+    total = round(sum(timings.values()), 3)
+    crawl_pages = sum(s.get("fetched", 0) + s.get("robots_blocked", 0) for s in crawl_stats)
+    result = {
+        "metric": "fetch+extract+dedup headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / timings["extract_all"], 1),
+        "crawl_pages_visited": crawl_pages,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+    """Same job at two parallelism levels on identical input — the sandbox
+    evidence for the north rule's N→4N scaling-efficiency criterion."""
+    runs = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = min(levels), max(levels)
+    tp = {c: runs[c]["pages_per_sec"] for c in levels}
+    eff = (tp[hi] / tp[lo]) / (hi / lo)
+    return {
+        "metric": f"extract throughput scaling local[{lo}] -> local[{hi}]",
+        "value": round(eff, 3),
+        "unit": "scaling_efficiency",
+        "throughput_pages_per_sec": {str(c): tp[c] for c in levels},
+        "suite_sec": {str(c): runs[c]["value"] for c in levels},
+        "sf": runs[lo]["sf"],
+        "runs": runs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

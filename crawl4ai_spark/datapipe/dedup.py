@@ -1,0 +1,200 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All Catalyst-native (higher-order array functions + hash joins). The scale
+path is the standard shingle→minhash→band→bucket-join pipeline:
+
+- signatures are computed per row with no shuffle;
+- the ONLY shuffle is the band-bucket self-join, which is an equi-join on
+  (band_id, band_key) — exactly what AQE handles, and the band key space is
+  uniform (md5), so no skew;
+- candidate pairs are then verified with the exact Jaccard, so LSH false
+  positives never survive (false negatives are the usual LSH trade-off,
+  tunable via bands×rows).
+
+At 10^10 docs the band explode is num_bands× the corpus — you'd bucket the
+join (repartition by band_key) and write band tables once, amortized across
+dedup runs. The operators below express that plan shape.
+
+Hashing is ``portable_hash`` (md5-based) so every operator here has an
+exact DuckDB oracle; swap for xxhash64 at production scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.datapipe.textstats import fingerprint_col, portable_hash, tokens_col
+
+
+# -- exact dedup --------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct canonical text with
+    the representative (min id) and the duplicate count. Map-side partial
+    aggregation applies; the shuffle key is the fingerprint (uniform)."""
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# -- shingling + MinHash ------------------------------------------------------
+
+
+def shingles_col(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of the lower-cased text; documents shorter
+    than k tokens contribute their whole token string as one shingle."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n >= k, windows).otherwise(whole))
+
+
+def _prefixed_hash(prefix: str):
+    """One-arg lambda factory (two-param lambdas receive the array index)."""
+    return lambda s: portable_hash(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature_col(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array of ``num_hashes`` min-hash values: sig[i] = min over shingles
+    of portable_hash(i ‖ ':' ‖ shingle). Empty shingle set → nulls."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _prefixed_hash(f"{i}:")))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys_col(sig: Column, bands: int, rows: int) -> Column:
+    """Array of ``bands`` LSH band keys: md5 of the comma-joined row slice."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays, rounded to 6 dp."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
+    shingle → minhash → band → bucket self-join → exact-Jaccard verify."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_col(text_col, k).alias("shingles"),
+    ).withColumn("sig", minhash_signature_col(F.col("shingles"), num_hashes))
+    banded = base.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(band_keys_col(F.col("sig"), bands, rows)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    join_cond,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-gram Jaccard for an arbitrary candidate-pair join condition
+    (the non-LSH building block; callers bound the pair set)."""
+    a = df_a.select(
+        F.col(id_a), shingles_col(text_col, k).alias("sh_a")
+    ).alias("a")
+    b = df_b.select(
+        F.col(id_b), shingles_col(text_col, k).alias("sh_b")
+    ).alias("b")
+    return a.join(b, join_cond).select(
+        id_a, id_b, jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    )
+
+
+# -- SimHash ------------------------------------------------------------------
+
+
+def simhash_col(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens (with multiplicity): bit b of the
+    output is set when Σ_tokens (2·bit_b(hash(token)) − 1) > 0.
+
+    Pure Catalyst: one array of token hashes, then ``bits`` fold-sums. At
+    scale this is embarrassingly parallel (no shuffle)."""
+    th = F.transform(tokens_col(text), lambda t: portable_hash(t))
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(th, F.lit(0).cast("long"), _bit_vote(b))
+        acc = acc + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def _bit_vote(b: int):
+    """Two-arg (acc, elem) merge lambda factory for F.aggregate."""
+    return lambda s, h: s + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+
+def hamming_distance_col(a: Column, b: Column, bits: int = 32) -> Column:
+    """Hamming distance between two simhash values: popcount(a XOR b)."""
+    x = a.bitwiseXOR(b)
+    acc = F.lit(0)
+    for i in range(bits):
+        acc = acc + F.shiftright(x, i).bitwiseAND(F.lit(1))
+    return acc

@@ -1,0 +1,140 @@
+"""Training-data pipeline ops: dedup / similarity / textstats / multimodal.
+
+Value-level parity with DuckDB is covered by tools/check_contract.py (and
+the driver's oracle gate); these tests pin the operator semantics on small
+literal inputs where expected values are hand-computable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.datapipe.dedup import (
+    exact_dedup_groups,
+    hamming_distance_col,
+    minhash_dedup_pairs,
+    shingles_col,
+    simhash_col,
+)
+from crawl4ai_spark.datapipe.multimodal import blob_meta, extract_blob_features, sample_frames
+from crawl4ai_spark.datapipe.similarity import (
+    ann_bruteforce_topk,
+    cosine_col,
+    hyperplanes,
+)
+from crawl4ai_spark.datapipe.textstats import (
+    fingerprint_col,
+    lang_id_col,
+    portable_hash,
+    quality_score_col,
+    token_count_col,
+)
+
+
+def test_portable_hash_matches_md5(spark):
+    out = spark.range(1).select(portable_hash(F.lit("abc")).alias("h")).collect()[0]
+    assert out.h == int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+
+
+def test_tokens_and_fingerprint(spark):
+    df = spark.createDataFrame([("  The  cat SAT ",), ("the cat sat",)], "text string")
+    rows = df.select(
+        token_count_col("text").alias("n"), fingerprint_col("text").alias("fp")
+    ).collect()
+    assert [r.n for r in rows] == [3, 3]
+    # whitespace/case-canonical: both rows share one fingerprint
+    assert rows[0].fp == rows[1].fp
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog in a house",), ("der hund und die katze ist da",), ("zzz qqq",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(lang_id_col("text")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_quality_bounds(spark):
+    df = spark.createDataFrame([("the quick brown fox jumps over the lazy dog",)], "text string")
+    v = df.select(quality_score_col("text").alias("q")).collect()[0].q
+    assert 0.0 <= v <= 1.0
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b   c"), (3, "different text")], "doc_id long, text string"
+    )
+    out = {r.representative_id: r.n_docs for r in exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    sh = df.select(shingles_col("text", 3).alias("s")).collect()[0].s
+    assert sh == ["one two"]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("alpha ", "", 1)
+    far = "completely different words entirely unrelated content here now " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_dedup_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame(
+        [("spark engine crawl frontier budget window rank", "spark engine crawl frontier budget window rank")],
+        "a string, b string",
+    )
+    row = df.select(
+        hamming_distance_col(simhash_col("a"), simhash_col("b")).alias("h")
+    ).collect()[0]
+    assert row.h == 0
+
+
+def test_cosine_and_ann(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
+    assert df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()[0].c == 0.0
+    queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    top = ann_bruteforce_topk(emb, queries, k=2).orderBy("rank").collect()
+    assert [r.vec_id for r in top] == [1, 2]  # nearest first, self excluded
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplanes(2, 4) == hyperplanes(2, 4)
+    assert all(-1.0 <= v <= 1.0 for row in hyperplanes(4, 16) for v in row)
+
+
+def test_blob_meta_and_features(spark):
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"\x89PNG1234567890")), ("u2", bytearray(b"<html>hi</html>"))],
+        "url string, blob binary",
+    )
+    meta = {r.url: r for r in blob_meta(df).collect()}
+    assert meta["u1"].media_kind == "image/png"
+    assert meta["u2"].media_kind == "application/octet-stream"
+    assert meta["u1"].n_bytes == 14
+
+    feats = {r.url: r for r in extract_blob_features(df).collect()}
+    assert len(feats["u1"].feature) == 16
+    assert abs(sum(feats["u2"].feature) - 1.0) < 1e-9
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([("u1", bytearray(b"x" * 2500))], "url string, blob binary")
+    frames = sample_frames(df, every_n=1000).collect()
+    assert [(r.frame_idx, r.offset) for r in frames] == [(0, 0), (1, 1000), (2, 2000)]
+    assert frames[0].digest == hashlib.md5(b"x" * 1000).hexdigest()
