@@ -112,39 +112,52 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     shingle → minhash → band → bucket self-join → exact-Jaccard verify."""
     rows = num_hashes // bands
-    base = df.select(
+    # CPU-bound per-row stage: spread it over all cores even when the
+    # input is a single small parquet file (one partition otherwise)
+    sc = df.sparkSession.sparkContext
+    nparts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    # shingle table computed ONCE and cached: it feeds both the signature
+    # build and (twice) the verification join — without the cache, Spark
+    # re-derives the full shingle+hash plan on every self-join branch.
+    sh = df.repartition(nparts).select(
         F.col(id_col).cast("long").alias("doc_id"),
         shingles_col(text_col, k).alias("shingles"),
-    ).withColumn("sig", minhash_signature_col(F.col("shingles"), num_hashes))
-    banded = base.select(
+    ).cache()
+    # Signature gets its OWN projection step: inlining it into the band-key
+    # expression would evaluate the num_hashes-pass minhash once per band
+    # (CollapseProject declines to merge, keeping it single-evaluation).
+    sig_df = sh.select(
+        "doc_id", minhash_signature_col(F.col("shingles"), num_hashes).alias("sig")
+    )
+    # band table carries ONLY (doc_id, band_id, band_key): the self-join
+    # shuffles 3 narrow columns, never the shingle arrays. Cached, because
+    # a self-join evaluates its plan once PER SIDE — without the cache the
+    # signature build (the expensive stage) runs twice.
+    banded = sig_df.select(
         "doc_id",
-        "shingles",
         F.posexplode(band_keys_col(F.col("sig"), bands, rows)).alias(
             "band_id", "band_key"
         ),
-    )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    ).cache()
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
 def ngram_jaccard_pairs(

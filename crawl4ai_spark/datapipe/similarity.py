@@ -28,6 +28,15 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a (possibly single-file) corpus across all cores before
+    a CPU-bound per-row scoring stage — higher-order array expressions are
+    interpreted (not codegen'd), so partition count IS the parallelism."""
+    sc = df.sparkSession.sparkContext
+    n = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    return df.repartition(n)
+
+
 def dot_col(a: Column, b: Column) -> Column:
     """Left-to-right fold dot product (order fixed ⇒ bit-stable)."""
     return F.aggregate(
@@ -59,10 +68,14 @@ def ann_bruteforce_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    c = _spread(corpus).select(F.col(id_col), F.col(vec_col).alias("_cvec"))
     scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).withColumn(
         "cosine", cosine_col(F.col("_qvec"), F.col("_cvec"))
     )
+    # shed the vector columns BEFORE the window shuffle: the rank only
+    # needs (query_id, id, cosine) — shuffling 64-float arrays per row
+    # would double the exchange size for nothing
+    scored = scored.select(query_id_col, id_col, "cosine")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -116,7 +129,7 @@ def ann_lsh_topk(
     """LSH-bucketed ANN: candidates share the query's hyperplane bucket.
     Recall < 1 by construction (that's the trade); the bucket join is a
     uniform int-key equi-join, the scale path for large query sets."""
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
         lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
@@ -129,6 +142,10 @@ def ann_lsh_topk(
     scored = c.join(F.broadcast(q), on="_bucket").filter(
         F.col(query_id_col) != F.col(id_col)
     ).withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
+    # shed the vector columns BEFORE the window shuffle: the rank only
+    # needs (query_id, id, cosine) — shuffling 64-float arrays per row
+    # would double the exchange size for nothing
+    scored = scored.select(query_id_col, id_col, "cosine")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -149,11 +166,11 @@ def embedding_dedup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) among LSH-bucket cohabitants — the vector twin of
     minhash_dedup_pairs, with the same candidate-then-verify shape."""
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
-    )
+    ).cache()
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(
         b,

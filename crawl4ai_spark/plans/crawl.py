@@ -50,7 +50,7 @@ from crawl4ai_spark.operators.politeness import host_budget_rank
 from crawl4ai_spark.operators.ranking import priority_rank
 from crawl4ai_spark.operators.robots import apply_robots_gate
 from crawl4ai_spark.operators.seen import build_bloom, dedup_against_seen
-from crawl4ai_spark.plans.extract import markdown_udf, scrape_udf
+from crawl4ai_spark.plans.extract import extract_udf
 from crawl4ai_spark.sources.snapshots import SnapshotTable
 
 
@@ -66,6 +66,9 @@ class CrawlConfig:
     include_external: bool = False
     check_robots: bool = True
     bloom_bits: int = 1 << 23
+    # below this seen-set size the bloom pre-filter costs more than the
+    # anti-join it short-circuits; at 10^10 URLs it is always on
+    bloom_min_seen: int = 200_000
     # extra filter Columns applied to discovered candidate urls
     filter_conditions: list = field(default_factory=list)
     # scorer: callable(url Column) -> score Column; default 0.0 (BFS order)
@@ -106,11 +109,15 @@ class CrawlRun:
         return {
             "iteration": meta.get("iteration", -1),
             "pages_crawled": meta.get("pages_crawled", 0),
+            # row counters carried in snapshot meta so the driver loop never
+            # runs count() jobs just to decide control flow
+            "n_frontier": meta.get("n_frontier"),
+            "n_seen": meta.get("n_seen", 0),
         }
 
     def _bootstrap(self) -> None:
         """Iteration -1 → 0: seed the frontier and the seen set."""
-        seeds = self.seeds.select(
+        seeds = self.seeds.coalesce(1).select(
             F.col("url"),
             normalize_deep_udf(F.col("url"), F.col("url")).alias("url_norm"),
             host_col(F.col("url")).alias("host"),
@@ -119,8 +126,12 @@ class CrawlRun:
             F.lit(None).cast("string").alias("parent_url"),
             F.lit(0).alias("discovered_iter"),
         )
-        seeds = seeds.dropDuplicates(["url_norm"]).cache()
-        self.t_frontier.replace(seeds, {"iteration": 0, "pages_crawled": 0})
+        seeds = seeds.dropDuplicates(["url_norm"]).coalesce(1).cache()
+        n_seeds = seeds.count()
+        self.t_frontier.replace(
+            seeds,
+            {"iteration": 0, "pages_crawled": 0, "n_frontier": n_seeds, "n_seen": n_seeds},
+        )
         self.t_seen.replace(
             seeds.select("url_norm", F.xxhash64("url_norm").alias("url_hash"),
                          "depth", F.lit(0).alias("first_iter"))
@@ -143,10 +154,23 @@ class CrawlRun:
         if remaining <= 0:
             return {"done": True, "reason": "max_pages"}
 
-        frontier = self.t_frontier.read(self.spark)
-        if frontier is None or frontier.isEmpty():
+        if st["n_frontier"] == 0:
             return {"done": True, "reason": "frontier_empty"}
+        frontier = self.t_frontier.read(self.spark)
+        if frontier is None or (st["n_frontier"] is None and frontier.isEmpty()):
+            return {"done": True, "reason": "frontier_empty"}
+        n_frontier = st["n_frontier"]
+        if n_frontier is None:  # pre-counter snapshot (resume of an old run)
+            n_frontier = frontier.count()
         t0 = time.time()
+        prof: dict[str, float] = {}
+
+        def _lap(label: str, since: float) -> float:
+            now = time.time()
+            prof[label] = round(now - since, 2)
+            return now
+
+        t = t0
 
         order_cols = (
             ["depth", "score", "warc_ts_hint"]
@@ -169,8 +193,15 @@ class CrawlRun:
         )
         selected = selected.drop("warc_ts_hint").cache()
         n_selected = selected.count()
+        t = _lap("rank", t)
         if n_selected == 0:
             return {"done": True, "reason": "budget_zero"}
+        # partitions for the Python-UDF stages: track the slice size, not
+        # spark.sql.shuffle.partitions — every partition costs a Python
+        # worker spawn, and a page costs ~10-30 ms of Python, so target
+        # ~64 pages/partition up to 4 waves per core
+        par = self.spark.sparkContext.defaultParallelism
+        nparts = max(1, min(par * 4, (n_selected + 63) // 64))
 
         # deferred rows stay in the frontier for the next iteration
         deferred = frontier.join(selected.select("url_norm"), "url_norm", "left_anti").drop(
@@ -186,27 +217,28 @@ class CrawlRun:
         blocked = gated.filter(~F.col("robots_allowed"))
         allowed = gated.filter(F.col("robots_allowed"))
 
-        # 3. fetch = left join against the pages table (J6)
-        fetched = allowed.join(
-            self.pages.withColumnRenamed("url", "page_url"),
-            F.col("url") == F.col("page_url"),
-            "left",
-        ).drop("page_url")
+        # 3. fetch (J6). Semantically a LEFT join frontier ⟕ pages, but a
+        #    left join can only broadcast its RIGHT side — at 100 TB the
+        #    pages table never broadcasts and the whole corpus would
+        #    shuffle. Instead: broadcast the (budget-bounded) frontier into
+        #    an INNER join streamed over pages, then recover the misses
+        #    with an anti-join against the (equally small) hit set.
+        hits = self.pages.join(F.broadcast(allowed), on="url")
+        misses = allowed.join(hits.select("url"), on="url", how="left_anti")
+        for c, typ in (("warc_ts", "timestamp"), ("html", "binary"),
+                       ("text", "string"), ("lang", "string")):
+            misses = misses.withColumn(c, F.lit(None).cast(typ))
+        fetched = hits.unionByName(misses.select(*hits.columns)).repartition(nparts)
         fetched = fetched.withColumn(
             "status_code", F.when(F.col("html").isNotNull(), 200).otherwise(404)
         )
 
-        # 4. extract (Arrow pandas UDFs) — only rows with a body
+        # 4. extract — ONE fused Arrow pandas UDF (scrape+markdown in a
+        #    single Python round trip); only rows with a body
         extracted = fetched.withColumn(
-            "scrape",
+            "x",
             F.when(
-                F.col("status_code") == 200, scrape_udf(F.col("html"), F.col("url"))
-            ),
-        ).withColumn(
-            "markdown",
-            F.when(
-                F.col("status_code") == 200,
-                markdown_udf(F.col("scrape.cleaned_html"), F.col("url")),
+                F.col("status_code") == 200, extract_udf(F.col("html"), F.col("url"))
             ),
         )
 
@@ -214,13 +246,13 @@ class CrawlRun:
             "url", "url_norm", "host", "depth", "score", "parent_url",
             "status_code",
             F.col("warc_ts"),
-            F.col("scrape.cleaned_html").alias("cleaned_html"),
-            F.col("scrape.text").alias("text"),
-            F.col("scrape.links").alias("links"),
-            F.col("scrape.metadata").alias("metadata"),
-            F.col("scrape.lang").alias("lang"),
-            F.col("markdown.raw_markdown").alias("raw_markdown"),
-            F.col("markdown.fit_markdown").alias("fit_markdown"),
+            F.col("x.cleaned_html").alias("cleaned_html"),
+            F.col("x.text").alias("text"),
+            F.col("x.links").alias("links"),
+            F.col("x.metadata").alias("metadata"),
+            F.col("x.lang").alias("lang"),
+            F.col("x.raw_markdown").alias("raw_markdown"),
+            F.col("x.fit_markdown").alias("fit_markdown"),
             F.col("visit_rank"),
             (F.col("status_code") == 200).alias("success"),
         ).unionByName(
@@ -245,9 +277,16 @@ class CrawlRun:
             "visit_order", F.lit(pages_crawled) + F.col("visit_rank")
         ).drop("visit_rank")
         results = results.cache()
-        n_results = results.count()
-        n_blocked = results.filter("status_code = 403").count()
-        n_fetched = results.filter("success").count()
+        # one agg job for every counter (instead of one job per counter)
+        counters = results.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("success").cast("int")).alias("fetched"),
+            F.sum((F.col("status_code") == 403).cast("int")).alias("blocked"),
+        ).first()
+        n_results = counters["n"]
+        n_fetched = counters["fetched"] or 0
+        n_blocked = counters["blocked"] or 0
+        t = _lap("fetch_extract", t)
 
         # 5. link discovery
         discovered = (
@@ -283,9 +322,13 @@ class CrawlRun:
         if cfg.score_threshold != float("-inf"):
             candidates = candidates.filter(F.col("score") >= cfg.score_threshold)
 
-        # 6. dedup vs seen (bloom pre-filter + exact anti-join)
+        # 6. dedup vs seen (exact anti-join; bloom pre-filter once the seen
+        #    set is big enough that skipping the join shuffle pays for the
+        #    bloom build+broadcast)
         seen_df = self.t_seen.read(self.spark)
-        bloom = build_bloom(seen_df, num_bits=cfg.bloom_bits) if seen_df is not None else None
+        bloom = None
+        if seen_df is not None and st["n_seen"] >= cfg.bloom_min_seen:
+            bloom = build_bloom(seen_df, num_bits=cfg.bloom_bits)
         new_urls = dedup_against_seen(candidates, seen_df, bloom=bloom)
 
         # capacity top-k: if more new URLs than remaining page budget, keep
@@ -307,6 +350,7 @@ class CrawlRun:
             "url", "url_norm", "host", "depth", "score", "parent_url", "discovered_iter"
         ).cache()
         n_new = new_urls.count()
+        t = _lap("discover_dedup", t)
 
         # 7. per-partition lineage + commit
         lineage = selected.groupBy(F.spark_partition_id().alias("partition_id")).agg(
@@ -323,21 +367,38 @@ class CrawlRun:
             F.lit(time.time()).alias("t_end"),
         )
 
-        self.t_results.append(results, {"iteration": iteration})
+        # coalesce small snapshot appends: a snapshot read at iteration k
+        # unions k data dirs, so file count per dir must track data size,
+        # not shuffle parallelism (at cluster scale the same knob is Iceberg
+        # write.target-file-size)
+        def _parts(n: int) -> int:
+            return max(1, min(32, n // 50_000 + 1))
+
+        n_deferred = n_frontier - n_selected
+        self.t_results.append(results.coalesce(_parts(n_results)), {"iteration": iteration})
+        t = _lap("write_results", t)
         self.t_seen.append(
             new_urls.select(
                 "url_norm",
                 F.xxhash64("url_norm").alias("url_hash"),
                 "depth",
                 F.lit(iteration + 1).alias("first_iter"),
-            )
+            ).coalesce(_parts(n_new))
         )
+        t = _lap("write_seen", t)
         next_frontier = deferred.unionByName(new_urls)
         self.t_frontier.replace(
-            next_frontier,
-            {"iteration": iteration + 1, "pages_crawled": pages_crawled + n_results},
+            next_frontier.coalesce(_parts(n_deferred + n_new)),
+            {
+                "iteration": iteration + 1,
+                "pages_crawled": pages_crawled + n_results,
+                "n_frontier": n_deferred + n_new,
+                "n_seen": st["n_seen"] + n_new,
+            },
         )
-        self.t_lineage.append(lineage, {"iteration": iteration})
+        t = _lap("write_frontier", t)
+        self.t_lineage.append(lineage.coalesce(1), {"iteration": iteration})
+        t = _lap("write_lineage", t)
 
         for df in (selected, gated, results, new_urls):
             df.unpersist()
@@ -350,6 +411,7 @@ class CrawlRun:
             "new_urls": n_new,
             "pages_crawled": pages_crawled + n_results,
             "seconds": time.time() - t0,
+            "profile": prof,
         }
 
     def run(self, max_iterations: int = 100) -> list[dict]:

@@ -21,7 +21,33 @@ from pyspark.sql import functions as F
 from crawl4ai_spark.html.markdown import html_to_markdown, links_to_citations
 from crawl4ai_spark.html.pruning import prune_fit_html
 from crawl4ai_spark.html.scrape import scrape_page
-from crawl4ai_spark.schema import MARKDOWN_RESULT_STRUCT, SCRAPE_RESULT_STRUCT
+from crawl4ai_spark.schema import (
+    EXTRACT_RESULT_STRUCT,
+    MARKDOWN_RESULT_STRUCT,
+    SCRAPE_RESULT_STRUCT,
+)
+
+_EMPTY_SCRAPE = {
+    "cleaned_html": None, "text": None, "links": [], "media": [],
+    "tables": [], "metadata": {}, "lang": None, "success": False,
+}
+_EMPTY_MARKDOWN = {
+    "raw_markdown": None, "markdown_with_citations": None,
+    "references_markdown": None, "fit_markdown": None, "fit_html": None,
+}
+
+
+def _markdown_dict(cleaned_html: str, url: str) -> dict:
+    raw = html_to_markdown(cleaned_html)
+    cited, refs = links_to_citations(raw, url or "")
+    _, fit_html = prune_fit_html(cleaned_html)
+    return {
+        "raw_markdown": raw,
+        "markdown_with_citations": cited,
+        "references_markdown": refs,
+        "fit_markdown": html_to_markdown(fit_html),
+        "fit_html": fit_html,
+    }
 
 
 @F.pandas_udf(SCRAPE_RESULT_STRUCT)
@@ -30,12 +56,7 @@ def scrape_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     rows = []
     for h, u in zip(html, url):
         if h is None:
-            rows.append(
-                {
-                    "cleaned_html": None, "text": None, "links": [], "media": [],
-                    "tables": [], "metadata": {}, "lang": None, "success": False,
-                }
-            )
+            rows.append(dict(_EMPTY_SCRAPE))
             continue
         if isinstance(h, (bytes, bytearray)):
             h = bytes(h).decode("utf-8", errors="replace")
@@ -48,27 +69,31 @@ def markdown_udf(cleaned_html: pd.Series, url: pd.Series) -> pd.DataFrame:
     rows = []
     for h, u in zip(cleaned_html, url):
         if h is None:
-            rows.append(
-                {
-                    "raw_markdown": None, "markdown_with_citations": None,
-                    "references_markdown": None, "fit_markdown": None,
-                    "fit_html": None,
-                }
-            )
+            rows.append(dict(_EMPTY_MARKDOWN))
             continue
-        raw = html_to_markdown(h)
-        cited, refs = links_to_citations(raw, u or "")
-        _, fit_html = prune_fit_html(h)
-        fit_md = html_to_markdown(fit_html)
-        rows.append(
-            {
-                "raw_markdown": raw,
-                "markdown_with_citations": cited,
-                "references_markdown": refs,
-                "fit_markdown": fit_md,
-                "fit_html": fit_html,
-            }
+        rows.append(_markdown_dict(h, u))
+    return pd.DataFrame(rows)
+
+
+@F.pandas_udf(EXTRACT_RESULT_STRUCT)
+def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Fused scrape + markdown — the hot path. One Python call and one
+    Arrow round trip per batch; the intermediate cleaned_html never
+    crosses the JVM boundary."""
+    rows = []
+    for h, u in zip(html, url):
+        if h is None:
+            rows.append({**_EMPTY_SCRAPE, **_EMPTY_MARKDOWN})
+            continue
+        if isinstance(h, (bytes, bytearray)):
+            h = bytes(h).decode("utf-8", errors="replace")
+        s = scrape_page(h, u or "")
+        m = (
+            _markdown_dict(s["cleaned_html"], u or "")
+            if s["cleaned_html"] is not None
+            else dict(_EMPTY_MARKDOWN)
         )
+        rows.append({**s, **m})
     return pd.DataFrame(rows)
 
 
@@ -78,8 +103,17 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
     Output columns: everything in ``pages`` plus
     ``scrape:  struct<cleaned_html,text,links,media,tables,metadata,lang,success>``
     ``markdown: struct<raw_markdown,markdown_with_citations,references_markdown,fit_markdown,fit_html>``
+
+    Internally runs the FUSED extract_udf (one Arrow round trip) and
+    re-nests the flat result into the two structs JVM-side (free).
     """
-    out = pages.withColumn("scrape", scrape_udf(F.col(html_col), F.col(url_col)))
-    return out.withColumn(
-        "markdown", markdown_udf(F.col("scrape.cleaned_html"), F.col(url_col))
-    )
+    out = pages.withColumn("_x", extract_udf(F.col(html_col), F.col(url_col)))
+    scrape_struct = F.struct(
+        *[F.col(f"_x.{f.name}") for f in SCRAPE_RESULT_STRUCT.fields]
+    ).alias("scrape")
+    md_struct = F.struct(
+        *[F.col(f"_x.{f.name}") for f in MARKDOWN_RESULT_STRUCT.fields]
+    ).alias("markdown")
+    return out.withColumn("scrape", scrape_struct).withColumn(
+        "markdown", md_struct
+    ).drop("_x")

@@ -102,6 +102,14 @@ MARKDOWN_RESULT_STRUCT = T.StructType(
     ]
 )
 
+# Fused scrape+markdown output — ONE Arrow round trip per page. Chaining
+# two dependent pandas UDFs costs ~3× the sum of the stages (the scrape
+# struct is re-serialized JVM↔Python and each task runs two workers), so
+# the hot path uses this flat struct and re-nests JVM-side.
+EXTRACT_RESULT_STRUCT = T.StructType(
+    list(SCRAPE_RESULT_STRUCT.fields) + list(MARKDOWN_RESULT_STRUCT.fields)
+)
+
 # Per-iteration, per-partition lineage (reference bookkeeping:
 # CrawlerTaskResult/CrawlStats, models.py:22-57).
 LINEAGE_SCHEMA = T.StructType(

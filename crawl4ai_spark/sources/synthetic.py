@@ -152,13 +152,17 @@ FROM ({gen})
 
 
 def build_pages(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession, sf_dir: str, replicate: int = 1, partitions: int | None = None
 ) -> DataFrame:
     """Materialize the pages DataFrame with the input-hint schema.
 
     ``replicate`` > 1 scales the corpus for benchmarks: replica r of doc i
     becomes id ``i + r*N`` in the same id-space (links computed mod N*K, so
     replicas interlink into one big graph).
+
+    ``partitions``: spread the corpus before CPU-bound downstream stages —
+    the driver test data is one small parquet file, i.e. ONE input split,
+    which would serialize every per-page UDF regardless of cores.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
@@ -175,6 +179,8 @@ def build_pages(
     else:
         ids_sql, ntot = None, str(n)
     df = spark.sql(pages_sql("spark", ids_sql=ids_sql, ntot_sql=ntot))
+    if partitions:
+        df = df.repartition(partitions)
     return df.select(
         "url",
         "warc_ts",
