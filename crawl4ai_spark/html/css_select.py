@@ -1,0 +1,118 @@
+"""Minimal CSS selector engine over the stdlib DOM-lite tree.
+
+Supports the selector subset that covers the reference's shipped
+JsonCssExtractionStrategy schemas (spec: /root/reference/crawl4ai/
+extraction_strategy.py:804-1196 — baseSelector + per-field selectors):
+
+- simple selectors: ``tag``, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``
+  and compounds thereof (``a.btn[href]``)
+- combinators: descendant (whitespace) and child (``>``)
+- selector lists: ``sel1, sel2`` (union, document order)
+
+Pure-Python, used only inside Arrow pandas UDF batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+from crawl4ai_spark.html.parser import Node
+
+_SIMPLE_RE = re.compile(
+    r"(?P<tag>[a-zA-Z][a-zA-Z0-9-]*|\*)?"
+    r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)"
+)
+_PART_RE = re.compile(r"([.#][\w-]+|\[[^\]]+\])")
+
+
+def _parse_simple(token: str) -> dict:
+    m = _SIMPLE_RE.match(token)
+    if not m or (m.end() != len(token)):
+        raise ValueError(f"unsupported selector: {token!r}")
+    out = {"tag": m.group("tag") or "*", "classes": [], "id": None, "attrs": []}
+    for part in _PART_RE.findall(m.group("rest") or ""):
+        if part.startswith("."):
+            out["classes"].append(part[1:])
+        elif part.startswith("#"):
+            out["id"] = part[1:]
+        else:  # [attr] or [attr=val] / [attr="val"]
+            body = part[1:-1]
+            if "=" in body:
+                k, v = body.split("=", 1)
+                out["attrs"].append((k.strip(), v.strip().strip("\"'")))
+            else:
+                out["attrs"].append((body.strip(), None))
+    return out
+
+
+def _matches(node: Node, simple: dict) -> bool:
+    if node.is_text:
+        return False
+    if simple["tag"] != "*" and node.tag != simple["tag"]:
+        return False
+    if simple["id"] is not None and node.attrs.get("id") != simple["id"]:
+        return False
+    if simple["classes"]:
+        classes = set(node.classes())
+        if not all(c in classes for c in simple["classes"]):
+            return False
+    for k, v in simple["attrs"]:
+        if k not in node.attrs:
+            return False
+        if v is not None and (node.attrs.get(k) or "") != v:
+            return False
+    return True
+
+
+def _compile(selector: str) -> list[tuple[str, dict]]:
+    """'a > b c' → [('desc', a), ('child', b), ('desc', c)]."""
+    tokens = selector.replace(">", " > ").split()
+    steps: list[tuple[str, dict]] = []
+    comb = "desc"
+    for tok in tokens:
+        if tok == ">":
+            comb = "child"
+            continue
+        steps.append((comb, _parse_simple(tok)))
+        comb = "desc"
+    if not steps:
+        raise ValueError(f"empty selector: {selector!r}")
+    return steps
+
+
+def select(root: Node, selector: str) -> list[Node]:
+    """All elements under ``root`` matching ``selector``, document order."""
+    results: list[Node] = []
+    seen: set[int] = set()
+    for branch in selector.split(","):
+        branch = branch.strip()
+        if not branch:
+            continue
+        steps = _compile(branch)
+        current = [root]
+        for comb, simple in steps:
+            nxt: list[Node] = []
+            nseen: set[int] = set()
+            for base in current:
+                if comb == "child":
+                    cands = [c for c in base.children if not c.is_text]
+                else:
+                    cands = [n for n in base.iter() if n is not base]
+                for c in cands:
+                    if _matches(c, simple) and id(c) not in nseen:
+                        nseen.add(id(c))
+                        nxt.append(c)
+            current = nxt
+        for n in current:
+            if id(n) not in seen:
+                seen.add(id(n))
+                results.append(n)
+    # document order: index by pre-order position
+    order = {id(n): i for i, n in enumerate(root.iter())}
+    results.sort(key=lambda n: order.get(id(n), 1 << 30))
+    return results
+
+
+def select_one(root: Node, selector: str) -> Node | None:
+    found = select(root, selector)
+    return found[0] if found else None

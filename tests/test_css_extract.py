@@ -1,0 +1,93 @@
+"""CSS selector engine + schema-driven structured extraction (T21)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.html.css_select import select, select_one
+from crawl4ai_spark.html.parser import parse_html
+from crawl4ai_spark.operators.extraction import (
+    BUILTIN_PATTERNS,
+    extract_schema,
+    extract_structured,
+    regex_extract_col,
+)
+
+HTML = """
+<html><body>
+<div id="main" class="content wide">
+  <ul class="items">
+    <li class="item"><a href="/a" title="A">Alpha</a><span class="price">$1.00</span></li>
+    <li class="item featured"><a href="/b">Beta</a><span class="price">$2.50</span></li>
+  </ul>
+  <p>contact: x@y.example on 2024-03-05</p>
+</div>
+<div class="sidebar"><li class="item"><a href="/c">Gamma</a></li></div>
+</body></html>
+"""
+
+
+def test_select_basics():
+    root = parse_html(HTML)
+    assert len(select(root, "li")) == 3
+    assert len(select(root, "li.item")) == 3
+    assert len(select(root, "li.featured")) == 1
+    assert len(select(root, "#main li")) == 2
+    assert len(select(root, "ul > li")) == 2
+    assert len(select(root, "div.sidebar a, #main a")) == 3
+    assert select_one(root, "li.featured a").attrs["href"] == "/b"
+    assert len(select(root, "a[title]")) == 1
+    assert len(select(root, 'a[href=/c]')) == 1
+
+
+def test_select_document_order():
+    root = parse_html(HTML)
+    hrefs = [n.attrs["href"] for n in select(root, "a")]
+    assert hrefs == ["/a", "/b", "/c"]
+
+
+def test_extract_schema():
+    recs = extract_schema(
+        HTML,
+        "ul.items li",
+        [
+            {"name": "name", "selector": "a", "type": "text"},
+            {"name": "link", "selector": "a", "type": "attribute", "attribute": "href"},
+            {"name": "price", "selector": ".price", "type": "regex", "pattern": r"\$([\d.]+)"},
+        ],
+    )
+    assert recs == [
+        {"name": "Alpha", "link": "/a", "price": "1.00"},
+        {"name": "Beta", "link": "/b", "price": "2.50"},
+    ]
+
+
+def test_extract_schema_missing_field():
+    recs = extract_schema(HTML, "div.sidebar li", [
+        {"name": "price", "selector": ".price", "type": "text"},
+        {"name": "name", "selector": "a", "type": "text"},
+    ])
+    assert recs == [{"name": "Gamma"}]  # missing selector → key omitted
+
+
+def test_extract_structured_spark(spark):
+    df = spark.createDataFrame([("u1", HTML)], "url string, html string")
+    out = extract_structured(
+        df, "ul.items li", [{"name": "name", "selector": "a", "type": "text"}]
+    ).collect()[0]
+    assert [dict(m) for m in out.extracted] == [{"name": "Alpha"}, {"name": "Beta"}]
+
+
+def test_regex_builtin_patterns(spark):
+    df = spark.createDataFrame(
+        [("mail x@y.example visit https://a.example/p on 2024-03-05",)], "t string"
+    )
+    row = df.select(
+        regex_extract_col(F.col("t"), "email").alias("e"),
+        regex_extract_col(F.col("t"), "url").alias("u"),
+        regex_extract_col(F.col("t"), "iso_date").alias("d"),
+    ).collect()[0]
+    assert row.e == ["x@y.example"]
+    assert row.u == ["https://a.example/p"]
+    assert row.d == ["2024-03-05"]
+    assert set(BUILTIN_PATTERNS) >= {"email", "url", "phone_us", "iso_date"}
