@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.urlnorm import normalize_deep_udf
 from crawl4ai_spark.functions.urls import host_col, url_valid_col
-from crawl4ai_spark.operators.politeness import host_budget_rank
+from crawl4ai_spark.operators.politeness import evolve_host_state, host_budget_rank
 from crawl4ai_spark.operators.ranking import priority_rank
 from crawl4ai_spark.operators.robots import apply_robots_gate
 from crawl4ai_spark.operators.seen import build_bloom, dedup_against_seen
@@ -73,6 +73,13 @@ class CrawlConfig:
     filter_conditions: list = field(default_factory=list)
     # scorer: callable(url Column) -> score Column; default 0.0 (BFS order)
     scorer: Callable | None = None
+    # adaptive politeness (P2): per-host budget = floor(iteration_window /
+    # current_delay), delays evolving per the deterministic RateLimiter
+    # variant (429/503 ⇒ ×2 clamped at max_delay; success ⇒ ×0.75 floored)
+    adaptive_politeness: bool = False
+    iteration_window: float = 30.0  # simulated wall budget per iteration (s)
+    base_delay: float = 1.0
+    max_delay: float = 60.0
 
 
 def _zero_scorer(url_col):
@@ -100,6 +107,7 @@ class CrawlRun:
         self.t_seen = SnapshotTable(os.path.join(workdir, "seen"))
         self.t_results = SnapshotTable(os.path.join(workdir, "results"))
         self.t_lineage = SnapshotTable(os.path.join(workdir, "lineage"))
+        self.t_host_state = SnapshotTable(os.path.join(workdir, "host_state"))
         self.scorer = self.config.scorer or _zero_scorer
 
     # -- state ---------------------------------------------------------------
@@ -183,10 +191,31 @@ class CrawlRun:
         frontier = frontier.withColumn("warc_ts_hint", F.col("url"))
 
         # 1. politeness budget per host (salted two-pass window), then
-        #    global rank + iteration budget.
-        budgeted = host_budget_rank(
-            frontier, order_cols, host="host", budget=cfg.host_budget, salt=cfg.salt
-        )
+        #    global rank + iteration budget. With adaptive_politeness the
+        #    budget is per-host: floor(iteration_window / current_delay)
+        #    from the host_state table (P1+P2), else a uniform constant.
+        hs_df = self.t_host_state.read(self.spark) if cfg.adaptive_politeness else None
+        if cfg.adaptive_politeness:
+            if hs_df is not None:
+                aug = frontier.join(
+                    F.broadcast(hs_df.select("host", "current_delay")), "host", "left"
+                )
+            else:
+                aug = frontier.withColumn(
+                    "current_delay", F.lit(None).cast("double")
+                )
+            delay = F.coalesce(F.col("current_delay"), F.lit(cfg.base_delay))
+            budget_col = F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.lit(cfg.iteration_window) / delay),
+            )
+            budgeted = host_budget_rank(
+                aug, order_cols, host="host", budget=budget_col, salt=cfg.salt
+            ).drop("current_delay")
+        else:
+            budgeted = host_budget_rank(
+                frontier, order_cols, host="host", budget=cfg.host_budget, salt=cfg.salt
+            )
         global_budget = min(remaining, cfg.iteration_budget or remaining)
         selected = priority_rank(
             budgeted, mode=cfg.mode, budget=global_budget, tiebreak="warc_ts_hint"
@@ -287,6 +316,32 @@ class CrawlRun:
         n_fetched = counters["fetched"] or 0
         n_blocked = counters["blocked"] or 0
         t = _lap("fetch_extract", t)
+
+        # P2: evolve per-host delays from this iteration's statuses
+        # (MERGE-shaped: existing state ∪ first-seen hosts at base delay)
+        if cfg.adaptive_politeness:
+            hosts_now = results.select("host").distinct()
+            defaults = (
+                hosts_now.join(hs_df.select("host"), "host", "left_anti")
+                if hs_df is not None
+                else hosts_now
+            ).select(
+                "host",
+                F.lit(cfg.base_delay).alias("current_delay"),
+                F.lit(0).cast("int").alias("fail_count"),
+                F.lit(iteration).cast("long").alias("last_iter"),
+            )
+            base_state = (
+                hs_df.unionByName(defaults) if hs_df is not None else defaults
+            )
+            # only hosts actually hit this iteration evolve (the reference
+            # touches DomainState on request, idle hosts keep their delay)
+            hit = base_state.join(hosts_now, "host", "left_semi")
+            idle = base_state.join(hosts_now, "host", "left_anti")
+            new_state = evolve_host_state(
+                hit, results.select("host", "status_code"), max_delay=cfg.max_delay
+            ).unionByName(idle)
+            self.t_host_state.replace(new_state.coalesce(1), {"iteration": iteration})
 
         # 5. link discovery
         discovered = (
@@ -435,3 +490,6 @@ class CrawlRun:
 
     def lineage(self) -> DataFrame | None:
         return self.t_lineage.read(self.spark)
+
+    def host_state(self) -> DataFrame | None:
+        return self.t_host_state.read(self.spark)
