@@ -35,6 +35,10 @@ def priority_rank(
         order = [F.col("depth").asc(), F.col("score").asc(), F.col(tiebreak).asc()]
     elif mode == "best_first":
         order = [F.col("score").asc(), F.col("depth").asc(), F.col(tiebreak).asc()]
+    elif mode == "dfs":
+        # deepest-first (reference dfs_strategy.py stack pop); within a
+        # depth the same deterministic (score, tiebreak) order applies
+        order = [F.col("depth").desc(), F.col("score").asc(), F.col(tiebreak).asc()]
     else:
         raise ValueError(f"unknown mode: {mode}")
     w = Window.orderBy(*order)

@@ -180,15 +180,20 @@ class CrawlRun:
 
         t = t0
 
-        order_cols = (
-            ["depth", "score", "warc_ts_hint"]
-            if cfg.mode == "bfs"
-            else ["score", "depth", "warc_ts_hint"]
-        )
         # warc_ts is a property of the PAGE; the frontier doesn't know it
         # yet. The deterministic stand-in for ranking is the url itself
         # (unique, stable); a production frontier carries last-seen warc_ts.
-        frontier = frontier.withColumn("warc_ts_hint", F.col("url"))
+        # ``sort_depth`` carries the mode's depth direction (dfs = deepest
+        # first) so the salted host window can hash/order plain columns.
+        frontier = frontier.withColumn("warc_ts_hint", F.col("url")).withColumn(
+            "sort_depth",
+            -F.col("depth") if cfg.mode == "dfs" else F.col("depth"),
+        )
+        order_cols = (
+            ["score", "sort_depth", "warc_ts_hint"]
+            if cfg.mode == "best_first"
+            else ["sort_depth", "score", "warc_ts_hint"]
+        )
 
         # 1. politeness budget per host (salted two-pass window), then
         #    global rank + iteration budget. With adaptive_politeness the
@@ -220,7 +225,7 @@ class CrawlRun:
         selected = priority_rank(
             budgeted, mode=cfg.mode, budget=global_budget, tiebreak="warc_ts_hint"
         )
-        selected = selected.drop("warc_ts_hint").cache()
+        selected = selected.drop("warc_ts_hint", "sort_depth").cache()
         n_selected = selected.count()
         t = _lap("rank", t)
         if n_selected == 0:
@@ -233,9 +238,9 @@ class CrawlRun:
         nparts = max(1, min(par * 4, (n_selected + 63) // 64))
 
         # deferred rows stay in the frontier for the next iteration
-        deferred = frontier.join(selected.select("url_norm"), "url_norm", "left_anti").drop(
-            "warc_ts_hint"
-        )
+        deferred = frontier.join(
+            selected.select("url_norm"), "url_norm", "left_anti"
+        ).drop("warc_ts_hint", "sort_depth")
 
         # 2. robots gate (fail-open; blocked → 403 results, not retried)
         if cfg.check_robots and self.robots is not None:

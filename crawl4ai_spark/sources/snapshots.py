@@ -102,3 +102,31 @@ class SnapshotTable:
 
     def is_empty(self) -> bool:
         return self.current_snapshot_id() is None
+
+    def read_since(
+        self, spark: SparkSession, after_snapshot_id: int | None
+    ) -> tuple[int | None, DataFrame | None]:
+        """Incremental read: rows appended AFTER ``after_snapshot_id``
+        (None = from the beginning). Returns (current_snapshot_id, df) with
+        df=None when nothing new. This is the batch analog of the
+        reference's ``stream=True`` delivery (results yielded as they
+        complete) — readers tail snapshot commits instead of an async
+        generator.
+        """
+        m = self._read_manifest()
+        cur = m["current"]
+        if cur is None or cur == after_snapshot_id:
+            return cur, None
+        cur_dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == cur)
+        old_dirs: list[str] = []
+        if after_snapshot_id is not None:
+            old_dirs = next(
+                (s["dirs"] for s in m["snapshots"] if s["id"] == after_snapshot_id),
+                [],
+            )
+        new_dirs = [d for d in cur_dirs if d not in set(old_dirs)]
+        if not new_dirs:
+            return cur, None
+        return cur, spark.read.parquet(
+            *[os.path.join(self.root, d) for d in new_dirs]
+        )

@@ -197,3 +197,34 @@ def test_best_first_min_score_first(spark, pages):
         by_iter.setdefault(r.iteration, []).append(r.score)
     for scores in by_iter.values():
         assert scores == sorted(scores)
+
+
+def test_stream_results_tailing(spark, pages, tmp_path):
+    """Snapshot tailing = the batch analog of stream=True delivery."""
+    import tempfile
+
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
+
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 4),
+        tempfile.mkdtemp(prefix="tail_"),
+        CrawlConfig(mode="bfs", max_pages=60, max_depth=2, host_budget=5),
+    )
+    seen_rows = 0
+    cursor = None
+    for _ in range(3):
+        s = run.run_iteration()
+        cursor_new, delta = run.t_results.read_since(spark, cursor)
+        if delta is not None:
+            n = delta.count()
+            assert n > 0
+            seen_rows += n
+        cursor = cursor_new
+        if s.get("done"):
+            break
+    # tailed increments must equal the full table
+    assert seen_rows == run.results().count()
+    # and a repeat read at the same cursor yields nothing new
+    _, nothing = run.t_results.read_since(spark, cursor)
+    assert nothing is None
