@@ -412,20 +412,43 @@ class CrawlRun:
         n_new = new_urls.count()
         t = _lap("discover_dedup", t)
 
-        # 7. per-partition lineage + commit
-        lineage = selected.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count("*").alias("urls_in")
+        # 7. per-partition lineage + commit. Two row kinds per iteration:
+        # 'fetch' rows carry per-partition urls-in/fetched/blocked of the
+        # extraction stage (the skew evidence: a salted hot host shows up
+        # as balanced partition row counts here), 'discover' rows carry
+        # per-partition emitted counts of the dedup output.
+        t_now = time.time()
+        fetch_lin = results.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.count(F.lit(1)).alias("urls_in"),
+            F.sum(F.col("success").cast("long")).alias("fetched"),
+            F.sum((F.col("status_code") == 403).cast("long")).alias("robots_blocked"),
         ).select(
             F.lit(iteration).alias("iteration"),
+            F.lit("fetch").alias("stage"),
             "partition_id",
             "urls_in",
-            F.lit(n_fetched).alias("fetched"),
-            F.lit(n_new).alias("deduped"),
-            F.lit(n_blocked).alias("robots_blocked"),
-            F.lit(n_new).alias("emitted"),
+            "fetched",
+            "robots_blocked",
+            F.lit(0).cast("long").alias("emitted"),
             F.lit(t0).alias("t_start"),
-            F.lit(time.time()).alias("t_end"),
+            F.lit(t_now).alias("t_end"),
         )
+        disc_lin = new_urls.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("emitted")).select(
+            F.lit(iteration).alias("iteration"),
+            F.lit("discover").alias("stage"),
+            "partition_id",
+            F.lit(0).cast("long").alias("urls_in"),
+            F.lit(0).cast("long").alias("fetched"),
+            F.lit(0).cast("long").alias("robots_blocked"),
+            "emitted",
+            F.lit(t0).alias("t_start"),
+            F.lit(t_now).alias("t_end"),
+        )
+        lineage = fetch_lin.unionByName(disc_lin)
 
         # coalesce small snapshot appends: a snapshot read at iteration k
         # unions k data dirs, so file count per dir must track data size,

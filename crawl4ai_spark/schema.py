@@ -111,14 +111,17 @@ EXTRACT_RESULT_STRUCT = T.StructType(
 )
 
 # Per-iteration, per-partition lineage (reference bookkeeping:
-# CrawlerTaskResult/CrawlStats, models.py:22-57).
+# CrawlerTaskResult/CrawlStats, models.py:22-57). Two row kinds per
+# iteration: stage='fetch' (urls_in/fetched/robots_blocked per extraction
+# partition — the hot-host skew evidence) and stage='discover' (emitted
+# per dedup-output partition).
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("iteration", T.IntegerType()),
+        T.StructField("stage", T.StringType()),
         T.StructField("partition_id", T.IntegerType()),
         T.StructField("urls_in", T.LongType()),
         T.StructField("fetched", T.LongType()),
-        T.StructField("deduped", T.LongType()),
         T.StructField("robots_blocked", T.LongType()),
         T.StructField("emitted", T.LongType()),
         T.StructField("t_start", T.DoubleType()),

@@ -125,8 +125,17 @@ def test_visit_order_dense_and_deterministic(crawl_run):
 def test_lineage_written(crawl_run):
     lin = crawl_run.lineage()
     assert lin is not None
-    iters = sorted({r.iteration for r in lin.collect()})
+    rows = lin.collect()
+    iters = sorted({r.iteration for r in rows})
     assert iters[0] == 0 and len(iters) >= 3
+    # per-partition fetch rows must reconcile with the results table
+    fetch = [r for r in rows if r.stage == "fetch"]
+    assert sum(r.urls_in for r in fetch) == crawl_run.results().count()
+    assert sum(r.fetched for r in fetch) == crawl_run.results().filter("success").count()
+    # discover rows must reconcile with the seen-set growth beyond seeds
+    disc_emitted = sum(r.emitted for r in rows if r.stage == "discover")
+    n_seeds = crawl_run.seen().filter("first_iter = 0").count()
+    assert disc_emitted == crawl_run.seen().count() - n_seeds
 
 
 def test_politeness_budget_enforced(spark, pages):
