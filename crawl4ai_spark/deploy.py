@@ -19,29 +19,42 @@ _SHIPPED: set[int] = set()
 
 
 def package_zip() -> str:
-    """Zip the crawl4ai_spark package (cached per process)."""
+    """Zip the crawl4ai_spark package — DETERMINISTIC bytes (fixed entry
+    timestamps, sorted names) so Spark's add-file content check never sees
+    a "same path, different contents" conflict across rebuilds."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "crawl4ai_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
+    entries: list[tuple[str, str]] = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if not f.endswith(".py"):
                 continue
-            for f in files:
-                if not f.endswith(".py"):
-                    continue
-                full = os.path.join(root, f)
-                rel = os.path.join(
-                    "crawl4ai_spark", os.path.relpath(full, pkg_dir)
-                )
-                zf.write(full, rel)
+            full = os.path.join(root, f)
+            rel = os.path.join("crawl4ai_spark", os.path.relpath(full, pkg_dir))
+            entries.append((rel, full))
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, full in sorted(entries):
+            info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            with open(full, "rb") as fh:
+                zf.writestr(info, fh.read())
     return out
 
 
 def ensure_workers_can_import(spark) -> None:
-    """Ship the package zip to executors once per SparkContext."""
+    """Ship the package zip to executors once per SparkContext. When the
+    session was launched via ``spark-submit --py-files`` the zip is already
+    registered — detect that and skip the re-add."""
     sc = spark.sparkContext
     key = id(sc)
     if key in _SHIPPED:
         return
-    sc.addPyFile(package_zip())
+    try:
+        already = any("crawl4ai_spark_pyfiles.zip" in f for f in sc.listFiles)
+    except Exception:
+        already = False
+    if not already:
+        sc.addPyFile(package_zip())
     _SHIPPED.add(key)
