@@ -31,7 +31,6 @@ def _sf_from_dir(sf_dir: str) -> float:
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from pyspark.sql import functions as F
 
-    from crawl4ai_spark.contract import QUERIES
     from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
     from crawl4ai_spark.plans.extract import extract_pages
     from crawl4ai_spark.session import get_spark
@@ -79,9 +78,74 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     crawl_stats = timed("crawl_bfs_3iter", q_crawl)
 
-    # q3-q6 — contract queries at bench scale
-    for name in ["dedup_minhash_lsh", "dedup_exact", "ann_bruteforce", "text_stats"]:
-        timed(name, lambda n=name: QUERIES[n](spark, sf_dir).agg(F.count(F.lit(1))).collect())
+    # q3-q7 — datapipe operators, timed operator-only: inputs are
+    # materialized to parquet ONCE (outside the timers) and re-read, so the
+    # timings measure the dedup/ANN/text operators, not corpus generation —
+    # and the multi-file input gives the scan real splits (the raw sf
+    # parquet is a single file = a single task otherwise).
+    from crawl4ai_spark.datapipe.dedup import exact_dedup_groups, minhash_dedup_pairs
+    from crawl4ai_spark.datapipe.similarity import ann_bruteforce_topk
+    from crawl4ai_spark.datapipe.textstats import (
+        fingerprint_col,
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    bench_root = tempfile.mkdtemp(prefix="c4ai_benchdata_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup_corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit(" "), F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    dup_corpus.repartition(cpus * 2).write.parquet(f"{bench_root}/dup_corpus")
+    corpus = spark.read.parquet(f"{bench_root}/dup_corpus")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs.repartition(cpus * 2).write.parquet(f"{bench_root}/embeddings")
+    embs = spark.read.parquet(f"{bench_root}/embeddings")
+
+    def _count(df):
+        return df.agg(F.count(F.lit(1))).collect()
+
+    timed("dedup_exact", lambda: _count(exact_dedup_groups(corpus, "doc_id", "text")))
+    timed(
+        "dedup_minhash_lsh",
+        lambda: _count(minhash_dedup_pairs(corpus, "doc_id", "text", k=3,
+                                           num_hashes=16, bands=4, threshold=0.5)),
+    )
+    # production hash path: same pipeline, xxhash64 signatures + long band keys
+    timed(
+        "dedup_minhash_xxhash64",
+        lambda: _count(minhash_dedup_pairs(corpus, "doc_id", "text", k=3,
+                                           num_hashes=16, bands=4, threshold=0.5,
+                                           hash_fn=F.xxhash64)),
+    )
+    timed(
+        "ann_bruteforce",
+        lambda: _count(
+            ann_bruteforce_topk(
+                embs,
+                embs.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                k=5,
+            )
+        ),
+    )
+    timed(
+        "text_stats",
+        lambda: _count(
+            corpus.select(
+                "doc_id",
+                token_count_col("text").alias("n_tokens"),
+                quality_score_col("text").alias("quality"),
+                lang_id_col("text").alias("lang"),
+                fingerprint_col("text").alias("fingerprint"),
+            )
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     crawl_pages = sum(s.get("fetched", 0) + s.get("robots_blocked", 0) for s in crawl_stats)

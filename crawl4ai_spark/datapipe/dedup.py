@@ -15,11 +15,16 @@ At 10^10 docs the band explode is num_bands× the corpus — you'd bucket the
 join (repartition by band_key) and write band tables once, amortized across
 dedup runs. The operators below express that plan shape.
 
-Hashing is ``portable_hash`` (md5-based) so every operator here has an
-exact DuckDB oracle; swap for xxhash64 at production scale.
+Hashing: the default ``hash_fn`` is ``portable_hash`` (md5-based) so every
+operator here has an exact DuckDB oracle. At production scale pass
+``hash_fn=F.xxhash64`` (JVM-native, no md5 digest + hex-conv per shingle ×
+num_hashes) — same pipeline, same guarantees, different fingerprints; the
+bench reports both paths.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,37 +65,43 @@ def shingles_col(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, windows).otherwise(whole))
 
 
-def _prefixed_hash(prefix: str):
+def _prefixed_hash(prefix: str, hash_fn: Callable[[Column], Column]):
     """One-arg lambda factory (two-param lambdas receive the array index)."""
-    return lambda s: portable_hash(F.concat(F.lit(prefix), s))
+    return lambda s: hash_fn(F.concat(F.lit(prefix), s))
 
 
-def minhash_signature_col(shingles: Column, num_hashes: int = 16) -> Column:
+def minhash_signature_col(
+    shingles: Column,
+    num_hashes: int = 16,
+    hash_fn: Callable[[Column], Column] = portable_hash,
+) -> Column:
     """Array of ``num_hashes`` min-hash values: sig[i] = min over shingles
-    of portable_hash(i ‖ ':' ‖ shingle). Empty shingle set → nulls."""
+    of hash_fn(i ‖ ':' ‖ shingle). Empty shingle set → nulls."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _prefixed_hash(f"{i}:")))
+            F.array_min(F.transform(shingles, _prefixed_hash(f"{i}:", hash_fn)))
             for i in range(num_hashes)
         ]
     )
 
 
-def band_keys_col(sig: Column, bands: int, rows: int) -> Column:
-    """Array of ``bands`` LSH band keys: md5 of the comma-joined row slice."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
-                    ),
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+def band_keys_col(
+    sig: Column,
+    bands: int,
+    rows: int,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> Column:
+    """Array of ``bands`` LSH band keys over the comma-joined row slices —
+    md5 strings on the oracle path, ``hash_fn`` longs on the fast path
+    (narrower join key, no digest-to-hex)."""
+    def _key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")),
+        )
+        return F.md5(joined) if hash_fn is None else hash_fn(joined)
+
+    return F.array(*[_key(b) for b in range(bands)])
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
@@ -108,10 +119,16 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
-    shingle → minhash → band → bucket self-join → exact-Jaccard verify."""
+    shingle → minhash → band → bucket self-join → exact-Jaccard verify.
+
+    ``hash_fn=None`` → oracle-exact ``portable_hash`` + md5 band keys;
+    pass ``F.xxhash64`` for the production path (same plan, ~order of
+    magnitude cheaper signatures, long band keys)."""
     rows = num_hashes // bands
+    sig_hash = hash_fn or portable_hash
     # CPU-bound per-row stage: spread it over all cores even when the
     # input is a single small parquet file (one partition otherwise)
     sc = df.sparkSession.sparkContext
@@ -127,7 +144,10 @@ def minhash_dedup_pairs(
     # expression would evaluate the num_hashes-pass minhash once per band
     # (CollapseProject declines to merge, keeping it single-evaluation).
     sig_df = sh.select(
-        "doc_id", minhash_signature_col(F.col("shingles"), num_hashes).alias("sig")
+        "doc_id",
+        minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=sig_hash).alias(
+            "sig"
+        ),
     )
     # band table carries ONLY (doc_id, band_id, band_key): the self-join
     # shuffles 3 narrow columns, never the shingle arrays. Cached, because
@@ -135,7 +155,7 @@ def minhash_dedup_pairs(
     # signature build (the expensive stage) runs twice.
     banded = sig_df.select(
         "doc_id",
-        F.posexplode(band_keys_col(F.col("sig"), bands, rows)).alias(
+        F.posexplode(band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)).alias(
             "band_id", "band_key"
         ),
     ).cache()
@@ -185,13 +205,17 @@ def ngram_jaccard_pairs(
 # -- SimHash ------------------------------------------------------------------
 
 
-def simhash_col(text: Column | str, bits: int = 32) -> Column:
+def simhash_col(
+    text: Column | str,
+    bits: int = 32,
+    hash_fn: Callable[[Column], Column] = portable_hash,
+) -> Column:
     """SimHash over whitespace tokens (with multiplicity): bit b of the
     output is set when Σ_tokens (2·bit_b(hash(token)) − 1) > 0.
 
     Pure Catalyst: one array of token hashes, then ``bits`` fold-sums. At
     scale this is embarrassingly parallel (no shuffle)."""
-    th = F.transform(tokens_col(text), lambda t: portable_hash(t))
+    th = F.transform(tokens_col(text), lambda t: hash_fn(t))
     acc = F.lit(0).cast("long")
     for b in range(bits):
         vote = F.aggregate(th, F.lit(0).cast("long"), _bit_vote(b))

@@ -46,15 +46,34 @@ def package_zip() -> str:
 def ensure_workers_can_import(spark) -> None:
     """Ship the package zip to executors once per SparkContext. When the
     session was launched via ``spark-submit --py-files`` the zip is already
-    registered — detect that and skip the re-add."""
+    registered — but only skip the re-add when the registered file's BYTES
+    match this checkout's build (name match alone would silently leave
+    stale code on executors). The zip bytes are deterministic, so a re-add
+    of identical content is a no-op and a genuine conflict surfaces as
+    Spark's changed-file error instead of skewed results."""
     sc = spark.sparkContext
     key = id(sc)
     if key in _SHIPPED:
         return
+    local = package_zip()
+    skip = False
     try:
-        already = any("crawl4ai_spark_pyfiles.zip" in f for f in sc.listFiles)
+        import hashlib
+
+        def _digest(path: str) -> str:
+            with open(path, "rb") as fh:
+                return hashlib.sha256(fh.read()).hexdigest()
+
+        want = _digest(local)
+        for f in sc.listFiles:
+            if "crawl4ai_spark_pyfiles.zip" not in f:
+                continue
+            reg = f[len("file:"):] if f.startswith("file:") else f
+            if os.path.exists(reg) and _digest(reg) == want:
+                skip = True
+            break
     except Exception:
-        already = False
-    if not already:
-        sc.addPyFile(package_zip())
+        skip = False
+    if not skip:
+        sc.addPyFile(local)
     _SHIPPED.add(key)

@@ -40,18 +40,20 @@ def fixed_window_chunks_col(text: Column | str, chunk_size: int = 100) -> Column
 def sliding_window_chunks_col(
     text: Column | str, window_size: int = 100, step: int = 50
 ) -> Column:
-    """Overlapping word windows advancing by ``step``; short texts yield the
-    whole text as one chunk (reference :207-211)."""
-    w = _words(text)
+    """Overlapping word windows advancing by ``step`` (reference :200-223):
+    texts of ≤ ``window_size`` words yield the RAW text as one chunk;
+    otherwise aligned windows at 0, step, 2·step, … plus — when the last
+    aligned window doesn't reach the end — one tail chunk of the final
+    ``window_size`` words."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = _words(c)
     n = F.size(w)
-    last_start = n - F.lit(window_size) + 1
-    starts = F.sequence(F.lit(1), F.greatest(last_start, F.lit(1)), F.lit(step))
-    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.when(
-            n <= window_size, F.array(F.concat_ws(" ", w))
-        ).otherwise(
-            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, window_size)))
-        )
+    starts = F.sequence(F.lit(1), n - window_size + 1, F.lit(step))
+    aligned = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, window_size)))
+    tail = F.concat_ws(" ", F.slice(w, n - window_size + 1, window_size))
+    has_tail = F.pmod(n - window_size, F.lit(step)) != 0
+    return F.when(n <= window_size, F.array(c)).otherwise(
+        F.when(has_tail, F.concat(aligned, F.array(tail))).otherwise(aligned)
     )
 
 
@@ -59,11 +61,19 @@ def overlapping_window_chunks_col(
     text: Column | str, window_size: int = 1000, overlap: int = 100
 ) -> Column:
     """Windows of ``window_size`` whose next window starts ``overlap`` words
-    before the previous end (reference :238-257)."""
-    step = max(window_size - overlap, 1)
-    w = _words(text)
+    before the previous end (reference :229-257): texts of ≤ ``window_size``
+    words yield the RAW text; generation stops at the first window reaching
+    the end (that window is clamped to the remaining words)."""
+    if overlap >= window_size:
+        raise ValueError("overlap must be smaller than window_size")
+    step = window_size - overlap
+    c = F.col(text) if isinstance(text, str) else text
+    w = _words(c)
     n = F.size(w)
-    starts = F.sequence(F.lit(1), F.when(n > 0, n).otherwise(F.lit(1)), F.lit(step))
-    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+    # chunks = ceil((n - window)/step) + 1 for n > window; last start 1-based
+    n_extra = F.ceil((n - window_size) / F.lit(step).cast("double"))
+    last_start = (n_extra * step + 1).cast("int")
+    starts = F.sequence(F.lit(1), last_start, F.lit(step))
+    return F.when(n <= window_size, F.array(c)).otherwise(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, window_size)))
     )

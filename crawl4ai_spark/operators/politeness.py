@@ -83,12 +83,17 @@ def apply_host_budget(
 
 
 def evolve_host_state(
-    host_state: DataFrame, fetch_results: DataFrame, max_delay: float = 60.0
+    host_state: DataFrame,
+    fetch_results: DataFrame,
+    max_delay: float = 60.0,
+    base_delay: float = 0.5,
 ) -> DataFrame:
     """Deterministic variant of RateLimiter.update_delay (spec:
     async_dispatcher.py:63-83): any 429/503 on the host this iteration →
-    delay = min(delay·2, max); all success → delay = max(base·0.75 clamp,
-    delay·0.75); fail_count accumulates / resets.
+    delay = min(delay·2, max); all success → delay = max(base_delay,
+    delay·0.75) — the decay floors at the *configured* base delay, so a
+    polite base_delay is never eroded by a streak of successes.
+    fail_count accumulates / resets.
 
     ``fetch_results`` needs (host, status_code). Returns the new host_state.
     """
@@ -104,7 +109,7 @@ def evolve_host_state(
             F.col("throttled") > 0,
             F.least(F.col("current_delay") * 2.0, F.lit(max_delay)),
         )
-        .otherwise(F.greatest(F.col("current_delay") * 0.75, F.lit(0.5)))
+        .otherwise(F.greatest(F.col("current_delay") * 0.75, F.lit(base_delay)))
         .alias("current_delay"),
         F.when(F.col("throttled") > 0, F.col("fail_count") + 1)
         .otherwise(F.lit(0))

@@ -9,12 +9,50 @@ The reference's orderings:
   quirk is preserved, not fixed: rank ASC on (score, depth, warc_ts).
 - Capacity top-k on discovered links: sort score DESC, take remaining
   capacity (bfs_strategy.py:124-131).
+
+Scale design: every global rank here goes through ``salted_global_topk`` —
+the same two-pass scheme as the politeness windows (operators/politeness.py):
+a distributed per-bucket top-k first, so the single-partition global window
+only ever sees ≤ salt·k survivor rows regardless of input size. The output
+is identical to the naive global window (any global top-k row is also in its
+bucket's top-k). The residual limit is k itself: an exact global top-k with
+k in the many-millions puts salt·k rows through one task — callers bound k
+by the remaining page budget per iteration, which the politeness budgets
+already cap.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def salted_global_topk(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    hash_on: Column | str,
+    salt: int = 16,
+    rank_col: str = "_topk_rank",
+) -> DataFrame:
+    """Exact global top-k with a 1-based ``rank_col``, computed as
+    per-bucket top-k (distributed) → global window over ≤ salt·k survivors.
+    Buckets are a deterministic hash of ``hash_on`` (pick a high-cardinality
+    column, e.g. the url), so reruns rank identically."""
+    hash_col = F.col(hash_on) if isinstance(hash_on, str) else hash_on
+    bucket = F.pmod(F.xxhash64(hash_col), F.lit(salt))
+    w1 = Window.partitionBy("_sb").orderBy(*order)
+    pruned = (
+        df.withColumn("_sb", bucket)
+        .withColumn("_sr", F.row_number().over(w1))
+        .filter(F.col("_sr") <= k)
+    )
+    w2 = Window.orderBy(*order)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("_sb", "_sr")
+    )
 
 
 def priority_rank(
@@ -23,14 +61,13 @@ def priority_rank(
     budget: int | None = None,
     rank_col: str = "visit_rank",
     tiebreak: str = "warc_ts",
+    salt: int = 16,
 ) -> DataFrame:
     """Global visit rank. BFS: (depth, score, warc_ts) ASC; best-first:
-    (score, depth, warc_ts) ASC (min-score-first). ``budget`` caps rows.
-
-    Scale note: a global row_number has a single-partition window — fine for
-    the per-iteration frontier slice (≤ budget·hosts rows after politeness),
-    NOT for the raw frontier; always budget per host first.
-    """
+    (score, depth, warc_ts) ASC (min-score-first). ``budget`` caps rows —
+    and routes through the salted two-pass top-k so the global window never
+    sees the full input. An unbudgeted call is a plain global window: only
+    for bounded inputs (tests, final exports)."""
     if mode == "bfs":
         order = [F.col("depth").asc(), F.col("score").asc(), F.col(tiebreak).asc()]
     elif mode == "best_first":
@@ -41,19 +78,19 @@ def priority_rank(
         order = [F.col("depth").desc(), F.col("score").asc(), F.col(tiebreak).asc()]
     else:
         raise ValueError(f"unknown mode: {mode}")
-    w = Window.orderBy(*order)
-    out = df.withColumn(rank_col, F.row_number().over(w))
     if budget is not None:
-        out = out.filter(F.col(rank_col) <= budget)
-    return out
+        return salted_global_topk(
+            df, order, budget, hash_on=tiebreak, salt=salt, rank_col=rank_col
+        )
+    return df.withColumn(rank_col, F.row_number().over(Window.orderBy(*order)))
 
 
-def capacity_topk(df: DataFrame, capacity: int, score_col: str = "score") -> DataFrame:
+def capacity_topk(
+    df: DataFrame, capacity: int, score_col: str = "score", salt: int = 16
+) -> DataFrame:
     """Keep the top-``capacity`` rows by score DESC (O4), deterministic
-    tie-break on url."""
-    w = Window.orderBy(F.col(score_col).desc(), F.col("url").asc())
-    return (
-        df.withColumn("_cap_rank", F.row_number().over(w))
-        .filter(F.col("_cap_rank") <= capacity)
-        .drop("_cap_rank")
+    tie-break on url — salted two-pass, safe on unbounded discovery sets."""
+    order = [F.col(score_col).desc(), F.col("url").asc()]
+    return salted_global_topk(df, order, capacity, hash_on="url", salt=salt).drop(
+        "_topk_rank"
     )

@@ -41,13 +41,13 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.urlnorm import normalize_deep_udf
 from crawl4ai_spark.functions.urls import host_col, url_valid_col
 from crawl4ai_spark.operators.politeness import evolve_host_state, host_budget_rank
-from crawl4ai_spark.operators.ranking import priority_rank
+from crawl4ai_spark.operators.ranking import capacity_topk, priority_rank
 from crawl4ai_spark.operators.robots import apply_robots_gate
 from crawl4ai_spark.operators.seen import build_bloom, dedup_against_seen
 from crawl4ai_spark.plans.extract import extract_udf
@@ -66,6 +66,11 @@ class CrawlConfig:
     include_external: bool = False
     check_robots: bool = True
     bloom_bits: int = 1 << 23
+    # fetch join: broadcast the frontier slice only below this row count —
+    # an unbudgeted iteration (iteration_budget=None, huge max_pages) must
+    # degrade to a shuffle join instead of OOMing the driver with a hinted
+    # broadcast that bypasses autoBroadcastJoinThreshold
+    broadcast_frontier_max: int = 200_000
     # below this seen-set size the bloom pre-filter costs more than the
     # anti-join it short-circuits; at 10^10 URLs it is always on
     bloom_min_seen: int = 200_000
@@ -254,15 +259,17 @@ class CrawlRun:
         # 3. fetch (J6). Semantically a LEFT join frontier ⟕ pages, but a
         #    left join can only broadcast its RIGHT side — at 100 TB the
         #    pages table never broadcasts and the whole corpus would
-        #    shuffle. Instead: broadcast the (budget-bounded) frontier into
-        #    an INNER join streamed over pages, then recover the misses
-        #    with an anti-join against the (equally small) hit set.
-        hits = self.pages.join(F.broadcast(allowed), on="url")
-        misses = allowed.join(hits.select("url"), on="url", how="left_anti")
-        for c, typ in (("warc_ts", "timestamp"), ("html", "binary"),
-                       ("text", "string"), ("lang", "string")):
-            misses = misses.withColumn(c, F.lit(None).cast(typ))
-        fetched = hits.unionByName(misses.select(*hits.columns)).repartition(nparts)
+        #    shuffle. Instead: semi-join the corpus down to the slice's
+        #    rows (broadcasting only the narrow url list, and only while
+        #    the slice is small — n_selected is already counted), then a
+        #    small⟕small left join recovers the misses as NULL page rows.
+        #    One pages-scan node in the plan; above the broadcast threshold
+        #    both joins degrade to shuffles and AQE picks the strategy.
+        probe = allowed.select("url")
+        if n_selected <= cfg.broadcast_frontier_max:
+            probe = F.broadcast(probe)
+        relevant = self.pages.join(probe, on="url", how="left_semi")
+        fetched = allowed.join(relevant, on="url", how="left").repartition(nparts)
         fetched = fetched.withColumn(
             "status_code", F.when(F.col("html").isNotNull(), 200).otherwise(404)
         )
@@ -344,7 +351,10 @@ class CrawlRun:
             hit = base_state.join(hosts_now, "host", "left_semi")
             idle = base_state.join(hosts_now, "host", "left_anti")
             new_state = evolve_host_state(
-                hit, results.select("host", "status_code"), max_delay=cfg.max_delay
+                hit,
+                results.select("host", "status_code"),
+                max_delay=cfg.max_delay,
+                base_delay=cfg.base_delay,
             ).unionByName(idle)
             self.t_host_state.replace(new_state.coalesce(1), {"iteration": iteration})
 
@@ -392,24 +402,31 @@ class CrawlRun:
         new_urls = dedup_against_seen(candidates, seen_df, bloom=bloom)
 
         # capacity top-k: if more new URLs than remaining page budget, keep
-        # best by score DESC (O4 semantics), deterministic url tie-break
-        new_urls = new_urls.withColumn("host", host_col(F.col("url"))).withColumn(
-            "discovered_iter", F.lit(iteration + 1)
+        # best by score DESC (O4 semantics), deterministic url tie-break.
+        # Count first so the common under-capacity case skips the rank
+        # entirely; over capacity, the salted two-pass top-k keeps the
+        # global window off the full discovery set (scale fix — the naive
+        # global Window here serialized millions of rows into one task).
+        candidates = (
+            new_urls.withColumn("host", host_col(F.col("url")))
+            .withColumn("discovered_iter", F.lit(iteration + 1))
+            .select(
+                "url", "url_norm", "host", "depth", "score", "parent_url",
+                "discovered_iter",
+            )
+            .cache()
         )
+        n_candidates = candidates.count()
         remaining_after = remaining - n_results
         if remaining_after <= 0:
-            new_urls = new_urls.limit(0)
+            new_urls, n_new = candidates.limit(0), 0
+        elif n_candidates > remaining_after:
+            new_urls = capacity_topk(
+                candidates, remaining_after, salt=cfg.salt
+            ).cache()
+            n_new = remaining_after  # row_number ≤ k keeps exactly k rows
         else:
-            w = Window.orderBy(F.col("score").desc(), F.col("url").asc())
-            new_urls = (
-                new_urls.withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") <= remaining_after)
-                .drop("_r")
-            )
-        new_urls = new_urls.select(
-            "url", "url_norm", "host", "depth", "score", "parent_url", "discovered_iter"
-        ).cache()
-        n_new = new_urls.count()
+            new_urls, n_new = candidates, n_candidates
         t = _lap("discover_dedup", t)
 
         # 7. per-partition lineage + commit. Two row kinds per iteration:
@@ -483,7 +500,7 @@ class CrawlRun:
         self.t_lineage.append(lineage.coalesce(1), {"iteration": iteration})
         t = _lap("write_lineage", t)
 
-        for df in (selected, gated, results, new_urls):
+        for df in (selected, gated, results, candidates, new_urls):
             df.unpersist()
         return {
             "done": False,

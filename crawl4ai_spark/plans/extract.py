@@ -17,8 +17,9 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from crawl4ai_spark.html.markdown import html_to_markdown, links_to_citations
+from crawl4ai_spark.html.markdown import generate_markdown_parts, html_to_markdown
 from crawl4ai_spark.html.pruning import prune_fit_html
 from crawl4ai_spark.html.scrape import scrape_page
 from crawl4ai_spark.schema import (
@@ -38,14 +39,13 @@ _EMPTY_MARKDOWN = {
 
 
 def _markdown_dict(cleaned_html: str, url: str) -> dict:
-    raw = html_to_markdown(cleaned_html)
-    cited, refs = links_to_citations(raw, url or "")
+    raw, cited, refs = generate_markdown_parts(cleaned_html, url or "")
     _, fit_html = prune_fit_html(cleaned_html)
     return {
         "raw_markdown": raw,
         "markdown_with_citations": cited,
         "references_markdown": refs,
-        "fit_markdown": html_to_markdown(fit_html),
+        "fit_markdown": html_to_markdown(fit_html, url or ""),
         "fit_html": fit_html,
     }
 
@@ -72,6 +72,36 @@ def markdown_udf(cleaned_html: pd.Series, url: pd.Series) -> pd.DataFrame:
             rows.append(dict(_EMPTY_MARKDOWN))
             continue
         rows.append(_markdown_dict(h, u))
+    return pd.DataFrame(rows)
+
+
+_MARKDOWN_PARTS_STRUCT = T.StructType(
+    [
+        T.StructField("raw_markdown", T.StringType()),
+        T.StructField("markdown_with_citations", T.StringType()),
+        T.StructField("references_markdown", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_MARKDOWN_PARTS_STRUCT)
+def markdown_parts_udf(doc: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Markdown GENERATOR surface alone (no scrape): html → (raw, cited,
+    refs). This is the byte-parity boundary golden-checked against the
+    executing reference generator — see tools/gen_markdown_goldens.py."""
+    from crawl4ai_spark.html.markdown import generate_markdown_parts
+
+    rows = []
+    for h, u in zip(doc, url):
+        if h is None:
+            rows.append({"raw_markdown": None, "markdown_with_citations": None,
+                         "references_markdown": None})
+            continue
+        if isinstance(h, (bytes, bytearray)):
+            h = bytes(h).decode("utf-8", errors="replace")
+        raw, cited, refs = generate_markdown_parts(h, u or "")
+        rows.append({"raw_markdown": raw, "markdown_with_citations": cited,
+                     "references_markdown": refs})
     return pd.DataFrame(rows)
 
 

@@ -112,6 +112,12 @@ class SnapshotTable:
         reference's ``stream=True`` delivery (results yielded as they
         complete) — readers tail snapshot commits instead of an async
         generator.
+
+        Only valid on APPEND-ONLY tables: after a ``replace`` (frontier,
+        host_state) the dir-set difference is meaningless — every current
+        dir would look "new" and previously-delivered rows would be
+        re-emitted. Such a gap raises so the caller resets its cursor
+        instead of silently double-reading.
         """
         m = self._read_manifest()
         cur = m["current"]
@@ -123,6 +129,12 @@ class SnapshotTable:
             old_dirs = next(
                 (s["dirs"] for s in m["snapshots"] if s["id"] == after_snapshot_id),
                 [],
+            )
+        if not set(old_dirs) <= set(cur_dirs):
+            raise ValueError(
+                f"snapshot {after_snapshot_id} is not a prefix of {cur} in "
+                f"{self.root}: a replace() happened — read_since only tails "
+                "append-only tables; reset the cursor and re-read"
             )
         new_dirs = [d for d in cur_dirs if d not in set(old_dirs)]
         if not new_dirs:

@@ -29,17 +29,34 @@ def test_adaptive_budget_and_state_evolution(spark, pages, sf_dir):
     hs = {r.host: r for r in run.host_state().collect()}
     assert hs, "host_state table must exist after an adaptive iteration"
     # every status this corpus produces (200/403/404) is a 'success' for the
-    # rate limiter (only 429/503 throttle) ⇒ delay decays 1.0 → 0.75
-    assert all(abs(r.current_delay - 0.75) < 1e-9 for r in hs.values())
+    # rate limiter (only 429/503 throttle) ⇒ delay decays ×0.75 but floors
+    # at the CONFIGURED base_delay (1.0) — successes must never erode the
+    # configured politeness below base
+    assert all(abs(r.current_delay - 1.0) < 1e-9 for r in hs.values())
     assert all(r.fail_count == 0 for r in hs.values())
 
     s1 = run.run_iteration()
-    # faster hosts ⇒ larger budgets next round: floor(3.0/0.75) = 4 per host
+    # budget per host per iteration: floor(3.0 / 1.0) = 3
     assert s1.get("done") or s1["selected"] >= 1
     hs2 = {r.host: r for r in run.host_state().collect()}
     hit_again = [h for h in hs2 if h in hs]
     assert hit_again
-    # second consecutive success: 0.75 * 0.75 floored at 0.5 → 0.5625
-    decayed = [h for h in hs2 if abs(hs2[h].current_delay - 0.5625) < 1e-9]
-    idle = [h for h in hs2 if abs(hs2[h].current_delay - 0.75) < 1e-9]
-    assert len(decayed) + len(idle) == len(hs2)
+    assert all(abs(r.current_delay - 1.0) < 1e-9 for r in hs2.values())
+
+
+def test_delay_decay_floors_at_base(spark):
+    """A throttled host's doubled delay decays ×0.75 per clean iteration but
+    never below base_delay."""
+    from crawl4ai_spark.operators.politeness import evolve_host_state
+
+    state = spark.createDataFrame(
+        [("h.example", 2.0, 1, 3)],
+        "host string, current_delay double, fail_count int, last_iter long",
+    )
+    ok = spark.createDataFrame([("h.example", 200)], "host string, status_code int")
+    s1 = evolve_host_state(state, ok, base_delay=1.2).first()
+    assert abs(s1.current_delay - 1.5) < 1e-9 and s1.fail_count == 0
+    s2 = evolve_host_state(
+        spark.createDataFrame([s1]), ok, base_delay=1.2
+    ).first()
+    assert abs(s2.current_delay - 1.2) < 1e-9  # 1.125 floored at base

@@ -109,16 +109,16 @@ def test_markdown_blocks():
     md = html_to_markdown(r["cleaned_html"])
     assert "# Main Heading" in md
     assert "**bold**" in md
-    assert "*italic*" in md
+    assert "_italic_" in md
     assert "`inline code`" in md
     assert "[relative link](deep/page.html \"t\")" in md
     # NB: cleaned_html's whitespace squeeze (replace("  "," "), one pass —
     # same quirk as the reference's cleanup, content_scraping_strategy.py:1089)
     # halves the 4-space indent before markdown sees it.
     assert "```\ndef f():\n  return 1\n```" in md
-    assert "- alpha" in md and "- beta" in md
-    assert "| col1 | col2 |" in md
-    assert "| v1 | v2 |" in md
+    assert "* alpha" in md and "* beta" in md
+    assert "col1| col2" in md and "---|---" in md
+    assert "v1| v2" in md
     assert "![big image](/big.png)" in md
 
 

@@ -35,10 +35,63 @@ def test_robots_gate_broadcasts(spark, pages):
 
 
 def test_fetch_join_broadcasts_frontier(spark, pages):
+    # the crawl loop's fetch shape under the broadcast threshold: semi-join
+    # the corpus down with a broadcast url-list probe, then small⟕small
     frontier = pages.select("url").limit(5)
-    hits = pages.join(F.broadcast(frontier), on="url")
-    plan = _plan(hits)
-    assert "BroadcastHashJoin" in plan
+    relevant = pages.join(F.broadcast(frontier.select("url")), "url", "left_semi")
+    plan = _plan(frontier.join(relevant, "url", "left"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_fetch_join_degrades_to_shuffle_above_threshold(spark, pages):
+    # above broadcast_frontier_max the hint is withheld: the semi-join must
+    # degrade to a shuffle join (no driver-OOM broadcast of a huge slice)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frontier = pages.select("url").limit(5)
+        relevant = pages.join(frontier.select("url"), "url", "left_semi")
+        plan = _plan(frontier.join(relevant, "url", "left"))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_capacity_topk_is_salted_two_pass(spark, pages):
+    from crawl4ai_spark.operators.ranking import capacity_topk
+
+    scored = pages.select("url", F.length("url").cast("double").alias("score"))
+    out = capacity_topk(scored, 10)
+    plan = _plan(out)
+    # pass 1 is a window partitioned by the salt bucket — the global window
+    # in pass 2 only ever sees ≤ salt·k survivors
+    assert plan.count("Window [") == 2
+    assert "_sb" in plan
+    # output identical to the naive global top-k
+    naive = scored.orderBy(F.col("score").desc(), F.col("url").asc()).limit(10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_priority_rank_salted_matches_naive(spark, pages):
+    from pyspark.sql import Window
+
+    from crawl4ai_spark.operators.ranking import priority_rank
+
+    df = pages.select(
+        "url",
+        (F.length("url") % 3).cast("double").alias("score"),
+        (F.length("url") % 4).alias("depth"),
+        F.col("url").alias("warc_ts"),
+    )
+    got = priority_rank(df, mode="bfs", budget=7).select("url", "visit_rank")
+    w = Window.orderBy(F.col("depth").asc(), F.col("score").asc(), F.col("warc_ts").asc())
+    want = (
+        df.withColumn("visit_rank", F.row_number().over(w))
+        .filter(F.col("visit_rank") <= 7)
+        .select("url", "visit_rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_ann_sheds_vectors_before_window(spark, sf_dir):
