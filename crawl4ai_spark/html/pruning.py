@@ -66,7 +66,11 @@ def node_score(node: Node) -> float:
         0.4 * text_density
         + 0.2 * (1.0 - link_density)
         + 0.2 * tag_weight
-        + 0.15 * cls_w  # negative chrome classes must be able to sink a node
+        # DELIBERATE DIVERGENCE from the reference's 0.1 class weight
+        # (content_filter_strategy.py:748): our [0,~1.1] composite needs
+        # 0.15 for a negative chrome class to sink an otherwise-dense node
+        # below the 0.48 threshold; at 0.1 the sidebar fixture survives.
+        + 0.15 * cls_w
         + 0.1 * len_factor
     )
 

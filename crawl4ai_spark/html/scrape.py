@@ -12,12 +12,14 @@ Pure function of (html, url) — safe to run inside an Arrow pandas UDF.
 from __future__ import annotations
 
 import re
+from urllib.parse import urlparse
 
 from crawl4ai_spark.functions.urlnorm import (
     get_base_domain,
     is_external_url,
     normalize_url,
 )
+from crawl4ai_spark.html.css_select import select
 from crawl4ai_spark.html.parser import Node, parse_html
 
 REMOVE_TAGS = ("script", "style", "link", "meta", "noscript")
@@ -27,34 +29,118 @@ _IMG_FORMATS = (".jpg", ".jpeg", ".png", ".webp", ".gif", ".svg", ".avif")
 _META_KEEP = frozenset({"description", "keywords", "author"})
 _META_PROP_PREFIXES = ("og:", "twitter:", "article:")
 
-_BAD_LINK_CLASS = re.compile(r"(nav|menu|footer|sidebar|ad[sv]?|promo|banner)", re.I)
-_GOOD_PATH = re.compile(r"/(docs?|blog|articles?|guide|tutorial|news)(/|$)", re.I)
-_BAD_PATH = re.compile(r"/(login|signin|signup|register|admin|cart|checkout)(/|$)", re.I)
+# attribute whitelist kept on cleaned elements (reference config.py:50)
+IMPORTANT_ATTRS = ("src", "href", "alt", "title", "width", "height")
+# inline tags replaceable by their text under only_text (config.py:51-73)
+ONLY_TEXT_TAGS = frozenset(
+    "b i u span del ins sub sup strong em code kbd var s q abbr cite dfn "
+    "time small mark".split()
+)
+
+# link-scoring signal tables (spec: reference utils.py:3123-3237)
+_PUNCT = '.,!?;:"()[]{}'
+_NAV_CLASSES = ("nav", "menu", "primary", "main", "important")
+_AD_CLASSES = ("ad", "sponsor", "track", "promo", "banner")
+_GOOD_RELS = ("canonical", "next", "prev", "chapter")
+_BAD_RELS = ("nofollow", "sponsored", "ugc")
+_HIGH_PATHS = ("/docs/", "/api/", "/guide/", "/tutorial/", "/reference/", "/manual/")
+_MED_PATHS = ("/blog/", "/article/", "/post/", "/news/")
+_BAD_PATHS = ("/admin/", "/login/", "/cart/", "/checkout/", "/track/", "/click/")
+_GENERIC_LINK_TEXTS = ("click here", "read more", "more info", "link", "here")
+_DOCS_DOMAIN_MARKS = ("docs.", "api.", "developer.", "reference.")
+_DOC_KEYWORDS = ("api", "reference", "guide", "tutorial", "example")
+_BASE64_IMG = re.compile(r'data:image/[^;]+;base64,([^"]+)')
 
 
-def link_intrinsic_score(text: str, href: str, title: str, class_attr: str, rel: str) -> float:
-    """0-10 link quality score (spec: reference utils.py:3123-3237 — same
-    signals, reimplemented formula)."""
-    score = 5.0
-    words = len(text.split())
-    if 2 <= words <= 10:
-        score += 1.5
-    elif words == 0:
-        score -= 2.0
-    if title:
-        score += 0.5
-    if _BAD_LINK_CLASS.search(class_attr or ""):
-        score -= 2.0
-    rel_vals = (rel or "").lower().split()
-    if "nofollow" in rel_vals or "sponsored" in rel_vals:
-        score -= 1.0
-    if _GOOD_PATH.search(href):
-        score += 1.5
-    if _BAD_PATH.search(href):
-        score -= 2.5
-    if len(href) > 200:
-        score -= 1.0
-    return max(0.0, min(10.0, score))
+def extract_page_context(
+    page_title: str, headlines_text: str, meta_description: str, base_url: str
+) -> dict:
+    """Per-page term context for link scoring, computed once before any
+    removals (spec: reference utils.py:3078-3121)."""
+    ctx: dict = {"terms": set(), "domain": "", "is_docs_site": False}
+    try:
+        domain = urlparse(base_url).netloc.lower()
+        ctx["domain"] = domain
+        ctx["is_docs_site"] = any(m in domain for m in _DOCS_DOMAIN_MARKS)
+        blob = (
+            (page_title or "") + " " + (headlines_text or "") + " "
+            + (meta_description or "")
+        ).lower()
+        ctx["terms"] = {
+            w.strip(_PUNCT) for w in blob.split() if len(w.strip(_PUNCT)) > 2
+        }
+    except Exception:
+        pass
+    return ctx
+
+
+def link_intrinsic_score(
+    text: str, href: str, title: str, class_attr: str, rel: str,
+    context: dict | None = None,
+) -> float:
+    """0-10 link quality score — exact restatement of the reference formula
+    (utils.py:3123-3237): attribute quality + url structure + text quality +
+    term-overlap relevance + docs-site bonus, clamped to [0, 10]."""
+    context = context or {}
+    score = 0.0
+    try:
+        if title and len(title.strip()) > 3:
+            score += 1.0
+        class_str = (class_attr or "").lower()
+        if any(c in class_str for c in _NAV_CLASSES):
+            score += 1.5
+        if any(c in class_str for c in _AD_CLASSES):
+            score -= 1.0
+        rel_str = (rel or "").lower()
+        if any(r in rel_str for r in _GOOD_RELS):
+            score += 1.0
+        if any(r in rel_str for r in _BAD_RELS):
+            score -= 0.5
+
+        url_lower = href.lower()
+        if any(p in url_lower for p in _HIGH_PATHS):
+            score += 2.0
+        elif any(p in url_lower for p in _MED_PATHS):
+            score += 1.0
+        if any(p in url_lower for p in _BAD_PATHS):
+            score -= 1.5
+        url_depth = href.count("/") - 2
+        if url_depth <= 2:
+            score += 1.0
+        elif url_depth > 5:
+            score -= 0.5
+        if href.startswith("https://"):
+            score += 0.5
+
+        if text:
+            text_clean = text.strip()
+            if len(text_clean) > 3:
+                score += 1.0
+            word_count = len(text_clean.split())
+            if word_count >= 2:
+                score += 0.5
+            if word_count >= 4:
+                score += 0.5
+            if text_clean.lower() in _GENERIC_LINK_TEXTS:
+                score -= 1.0
+
+        if context.get("terms") and text:
+            link_words = {
+                w.strip(_PUNCT).lower()
+                for w in text.split()
+                if len(w.strip(_PUNCT)) > 2
+            }
+            if link_words:
+                overlap = len(link_words & context["terms"])
+                if overlap > 0:
+                    score += overlap / min(len(link_words), 10) * 2.0
+
+        if context.get("is_docs_site", False):
+            if text and any(k in text.lower() for k in _DOC_KEYWORDS):
+                score += 1.0
+    except Exception:
+        score = 0.5
+    return max(0.0, min(score, 10.0))
 
 
 def score_image(node: Node, index: int, total: int) -> int:
@@ -138,8 +224,178 @@ def extract_metadata(root: Node) -> dict[str, str]:
     return meta
 
 
-def scrape_page(html: str, url: str, table_score_threshold: int = 7, image_score_threshold: int = 2) -> dict:
-    """Full scrape of one page. Returns a dict matching SCRAPE_RESULT_STRUCT."""
+def _flatten_same_tag(node: Node) -> None:
+    """Collapse single-child same-tag nesting (<div><div>x</div></div> →
+    <div>x</div>), bottom-up (spec: content_scraping_strategy.py:348-367)."""
+    for child in list(node.children):
+        if not child.is_text:
+            _flatten_same_tag(child)
+    while (
+        not node.is_text
+        and len(node.children) == 1
+        and not node.children[0].is_text
+        and node.children[0].tag == node.tag
+    ):
+        inner = node.children[0]
+        node.attrs = inner.attrs
+        node.children = inner.children
+        for c in node.children:
+            c.parent = node
+
+
+class _ScrapeState:
+    __slots__ = ("url", "base_domain", "page_context", "internal", "external",
+                 "media_av", "opts")
+
+    def __init__(self, url: str, base_domain: str, page_context: dict, opts: dict):
+        self.url = url
+        self.base_domain = base_domain
+        self.page_context = page_context
+        self.internal: dict[str, dict] = {}
+        self.external: dict[str, dict] = {}
+        self.media_av: list[dict] = []
+        self.opts = opts
+
+
+def _walk_element(el: Node, st: _ScrapeState) -> bool:
+    """Recursive per-element pass mirroring the reference's
+    ``_process_element`` (content_scraping_strategy.py:598-843): link/media
+    collection, exclusion knobs, attribute whitelist, and word-count-driven
+    pruning. Returns whether the element was kept."""
+    opts = st.opts
+    if el.tag in ("script", "style", "link", "meta", "noscript"):
+        el.detach()
+        return False
+
+    keep = el.tag in ("tr", "td", "th")
+
+    if el.tag == "a" and el.attrs.get("href"):
+        href = (el.attrs.get("href") or "").strip()
+        if not href:
+            return False
+        norm = normalize_url(href, st.url)
+        if not norm:
+            return False
+        link_data = {
+            "href": norm,
+            "text": el.text().strip(),
+            "title": (el.attrs.get("title") or "").strip(),
+            "base_domain": st.base_domain,
+            "intrinsic_score": link_intrinsic_score(
+                el.text().strip(), norm, (el.attrs.get("title") or "").strip(),
+                el.attrs.get("class") or "", el.attrs.get("rel") or "",
+                st.page_context,
+            ),
+        }
+        is_ext = is_external_url(norm, st.base_domain)
+        keep = True
+        if is_ext:
+            link_base = get_base_domain(norm)
+            link_data["base_domain"] = link_base
+            if opts["exclude_external_links"]:
+                el.detach()
+                return False
+            if link_base in opts["exclude_domains"]:
+                el.detach()
+                return False
+            link_data["is_external"] = True
+            if norm not in st.external:
+                st.external[norm] = link_data
+        else:
+            if opts["exclude_internal_links"]:
+                el.detach()
+                return False
+            link_data["is_external"] = False
+            if norm not in st.internal:
+                st.internal[norm] = link_data
+
+    if el.tag == "img":
+        src = el.attrs.get("src") or el.attrs.get("data-src") or el.attrs.get(
+            "data-original"
+        )
+        if not src and el.attrs.get("srcset"):
+            src = el.attrs["srcset"].split(",")[0].split(" ")[0]
+        if not src:
+            el.detach()
+            return False
+        if el.attrs.get("srcset"):
+            el.attrs["src"] = el.attrs["srcset"].split(",")[0].split(" ")[0]
+        src_base = get_base_domain(src)
+        if src_base and src_base in opts["exclude_domains"]:
+            el.detach()
+            return False
+        return True  # images keep all attributes
+
+    if opts["remove_forms"] and el.tag == "form":
+        el.detach()
+        return False
+
+    if el.tag in ("video", "audio"):
+        srcs = [el.attrs.get("src")]
+        srcs += [s.attrs.get("src") for s in el.find_all("source")]
+        for s in srcs:
+            st.media_av.append(
+                {"src": s or "", "alt": el.attrs.get("title") or "",
+                 "media_type": el.tag, "score": 0, "width": None, "height": None}
+            )
+        return True
+
+    if el.tag in ONLY_TEXT_TAGS and opts["only_text"] and el.parent is not None:
+        # replace the element with its text content
+        idx = el.parent.children.index(el)
+        el.parent.children[idx] = Node("#text", {"text": el.raw_text()}, el.parent)
+        return True
+
+    if opts["prune_attrs"]:
+        kept_attrs = {
+            k: v
+            for k, v in el.attrs.items()
+            if k in opts["important_attrs"]
+            or (opts["keep_data_attributes"] and k.startswith("data-"))
+        }
+        el.attrs = kept_attrs
+
+    for child in list(el.children):
+        if child.is_text:
+            if child.attrs["text"].strip():
+                keep = True
+        elif _walk_element(child, st):
+            keep = True
+
+    if not keep:
+        keep = el.word_count() >= st.opts["word_count_threshold"]
+    if not keep:
+        el.detach()
+    return keep
+
+
+def scrape_page(
+    html: str,
+    url: str,
+    table_score_threshold: int = 7,
+    image_score_threshold: int = 2,
+    *,
+    word_count_threshold: int = 1,
+    excluded_tags: list[str] | None = None,
+    excluded_selector: str | None = None,
+    keep_attrs: list[str] | None = None,
+    keep_data_attributes: bool = False,
+    prune_attrs: bool = True,
+    exclude_external_links: bool = False,
+    exclude_internal_links: bool = False,
+    exclude_domains: list[str] | None = None,
+    exclude_all_images: bool = False,
+    remove_forms: bool = False,
+    only_text: bool = False,
+) -> dict:
+    """Full scrape of one page → dict matching SCRAPE_RESULT_STRUCT.
+
+    Config surface mirrors the reference's ``WebScrapingStrategy._scrap``
+    (content_scraping_strategy.py:845-1097): excluded_tags / CSS-selector
+    removal, attribute whitelist (IMPORTANT_ATTRS + keep_attrs), word-count
+    pruning, link/image exclusion knobs, nested same-tag flattening, base64
+    image stripping. ``prune_attrs=False`` preserves all attributes (useful
+    when a downstream class-aware filter runs on cleaned_html)."""
     try:
         root = parse_html(html or "")
     except Exception:
@@ -150,45 +406,56 @@ def scrape_page(html: str, url: str, table_score_threshold: int = 7, image_score
 
     metadata = extract_metadata(root)  # before <meta> removal
     base_domain = get_base_domain(url)
+    headlines = " ".join(
+        t for h in root.find_all("h1", "h2", "h3") if (t := h.text().strip())
+    )
+    page_context = extract_page_context(
+        metadata.get("title", ""), headlines, metadata.get("description", ""), url
+    )
 
-    # -- links (first-wins dedup by normalized href, spec :683-691) ----------
-    links: list[dict] = []
-    seen_hrefs: set[str] = set()
-    for a in root.find_all("a"):
-        href = a.attrs.get("href")
-        if not href:
-            continue
-        norm = normalize_url(href, url)
-        if not norm or norm in seen_hrefs:
-            continue
-        seen_hrefs.add(norm)
-        text = a.text()
-        title = a.attrs.get("title") or ""
-        links.append(
-            {
-                "href": norm,
-                "text": text,
-                "title": title,
-                "base_domain": get_base_domain(norm),
-                "is_external": is_external_url(norm, base_domain),
-                "intrinsic_score": link_intrinsic_score(
-                    text, norm, title, a.attrs.get("class") or "", a.attrs.get("rel") or ""
-                ),
-            }
-        )
+    body = root.find("body") or root
 
-    # -- media ----------------------------------------------------------------
+    if exclude_all_images:
+        body.remove_tags("img")
+    if excluded_tags:
+        body.remove_tags(*excluded_tags)
+    if excluded_selector:
+        for el in select(body, excluded_selector):
+            el.detach()
+
+    st = _ScrapeState(
+        url, base_domain, page_context,
+        {
+            "word_count_threshold": word_count_threshold,
+            "important_attrs": frozenset(IMPORTANT_ATTRS) | frozenset(keep_attrs or ()),
+            "keep_data_attributes": keep_data_attributes,
+            "prune_attrs": prune_attrs,
+            "exclude_external_links": exclude_external_links,
+            "exclude_internal_links": exclude_internal_links,
+            "exclude_domains": frozenset(exclude_domains or ()),
+            "remove_forms": remove_forms,
+            "only_text": only_text,
+        },
+    )
+    for child in list(body.children):
+        if not child.is_text:
+            _walk_element(child, st)
+    links = list(st.internal.values()) + list(st.external.values())
+
+    # -- media (surviving images, scored; then video/audio) -------------------
     media: list[dict] = []
-    imgs = root.find_all("img")
+    imgs = body.find_all("img")
     for i, img in enumerate(imgs):
         score = score_image(img, i, len(imgs))
         if score < image_score_threshold:
             continue
+
         def _int(v):
             try:
                 return int(v)
             except (TypeError, ValueError):
                 return None
+
         media.append(
             {
                 "src": img.attrs.get("src") or "",
@@ -199,27 +466,22 @@ def scrape_page(html: str, url: str, table_score_threshold: int = 7, image_score
                 "height": _int(img.attrs.get("height")),
             }
         )
-    for tag, mt in (("video", "video"), ("audio", "audio")):
-        for el in root.find_all(tag):
-            src = el.attrs.get("src") or ""
-            if not src:
-                s = el.find("source")
-                src = (s.attrs.get("src") if s is not None else "") or ""
-            media.append(
-                {"src": src, "alt": el.attrs.get("title") or "", "media_type": mt,
-                 "score": 0, "width": None, "height": None}
-            )
+    media += st.media_av
 
     # -- tables ---------------------------------------------------------------
     tables: list[dict] = []
-    for t in root.find_all("table"):
-        score, body_rows = is_data_table(t)
-        if score >= table_score_threshold and body_rows:
-            tables.append(extract_table(t))
+    if "table" not in (excluded_tags or ()):
+        for t in body.find_all("table"):
+            score, body_rows = is_data_table(t)
+            if score >= table_score_threshold and body_rows:
+                tables.append(extract_table(t))
 
     # -- cleaned html + text --------------------------------------------------
-    root.remove_tags(*REMOVE_TAGS)
-    body = root.find("body") or root
+    _flatten_same_tag(body)
+    for img in body.find_all("img"):
+        src = img.attrs.get("src") or ""
+        if _BASE64_IMG.match(src):
+            img.attrs["src"] = _BASE64_IMG.sub("", src)
     cleaned_html = body.serialize_children().strip()
     # final whitespace squeeze, mirroring the reference's cleanup pass
     # (spec content_scraping_strategy.py:1089)

@@ -22,6 +22,17 @@ def regex_chunks_col(text: Column | str, pattern: str = r"\n\n") -> Column:
     return F.filter(F.split(c, pattern), lambda s: F.trim(s) != "")
 
 
+def sentence_chunks_col(text: Column | str) -> Column:
+    """Sentence chunks (reference NlpSentenceChunking, chunking_strategy.py
+    :62-100). The reference tokenizes with an NLP model (nltk punkt —
+    unavailable here); this is the deterministic regex determinization:
+    maximal runs up to sentence-final punctuation. Trimmed, empties
+    dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    sents = F.regexp_extract_all(c, F.lit(r"[^.!?]+(?:[.!?]+|$)"), F.lit(0))
+    return F.filter(F.transform(sents, F.trim), lambda s: s != "")
+
+
 def _words(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")

@@ -75,6 +75,52 @@ def markdown_udf(cleaned_html: pd.Series, url: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+_BM25_CHUNKS_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk_idx", T.LongType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_BM25_CHUNKS_STRUCT)
+def bm25_chunks_udf(html: pd.Series) -> pd.Series:
+    """Every text chunk of each page with its tag and tag-weighted BM25
+    score (full T14 filter pipeline, stemming off for oracle exactness)."""
+    from crawl4ai_spark.html.bm25_filter import bm25_score_all_chunks
+
+    rows = []
+    for h in html:
+        scored = bm25_score_all_chunks(h or "", use_stemming=False)
+        rows.append(
+            [{"chunk_idx": i, "tag": tag, "score": s} for i, _, tag, s in scored]
+        )
+    return pd.Series(rows, dtype="object")
+
+
+def make_scrape_udf(**scrape_kwargs):
+    """Scrape UDF with the full config surface (excluded_tags,
+    excluded_selector, keep_attrs, word_count_threshold, exclusion knobs —
+    see html.scrape.scrape_page) baked in."""
+
+    @F.pandas_udf(SCRAPE_RESULT_STRUCT)
+    def configured_scrape_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h, u in zip(html, url):
+            if h is None:
+                rows.append(dict(_EMPTY_SCRAPE))
+                continue
+            if isinstance(h, (bytes, bytearray)):
+                h = bytes(h).decode("utf-8", errors="replace")
+            rows.append(scrape_page(h, u or "", **scrape_kwargs))
+        return pd.DataFrame(rows)
+
+    return configured_scrape_udf
+
+
 _MARKDOWN_PARTS_STRUCT = T.StructType(
     [
         T.StructField("raw_markdown", T.StringType()),

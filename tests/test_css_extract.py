@@ -91,3 +91,63 @@ def test_regex_builtin_patterns(spark):
     assert row.u == ["https://a.example/p"]
     assert row.d == ["2024-03-05"]
     assert set(BUILTIN_PATTERNS) >= {"email", "url", "phone_us", "iso_date"}
+
+
+def test_xpath_engine_axes_and_predicates():
+    from crawl4ai_spark.html.parser import parse_html
+    from crawl4ai_spark.html.xpath_select import xpath_select
+
+    root = parse_html(
+        '<div id="a"><ul><li class="x">one</li><li>two</li></ul></div>'
+        '<div id="b"><span><li>deep</li></span></div>'
+    )
+    assert [n.text() for n in xpath_select(root, "//li")] == ["one", "two", "deep"]
+    assert [n.text() for n in xpath_select(root, "//div/ul/li")] == ["one", "two"]
+    assert [n.text() for n in xpath_select(root, "//li[@class='x']")] == ["one"]
+    assert [n.text() for n in xpath_select(root, "//li[1]")] == ["one", "deep"]
+    assert [n.attrs["id"] for n in xpath_select(root, "//div[@id]")] == ["a", "b"]
+    d = xpath_select(root, "//div[@id='b']")[0]
+    assert [n.text() for n in xpath_select(d, ".//li")] == ["deep"]
+    assert xpath_select(d, "./li") == []  # child axis: li is not a direct child
+
+
+def test_nested_and_list_fields():
+    from crawl4ai_spark.operators.extraction import extract_schema
+
+    html = (
+        '<article><h2>T1</h2><ul>'
+        '<li><a href="/a">A</a></li><li><a href="/b">B</a></li></ul></article>'
+    )
+    out = extract_schema(
+        html,
+        "article",
+        [
+            {"name": "title", "selector": "h2", "type": "text", "transform": "lowercase"},
+            {"name": "first", "type": "nested", "selector": "a",
+             "fields": [{"name": "href", "type": "attribute", "attribute": "href"}]},
+            {"name": "items", "type": "list", "selector": "li a",
+             "fields": [{"name": "t", "type": "text"},
+                        {"name": "href", "type": "attribute", "attribute": "href"}]},
+            {"name": "missing", "selector": "h9", "type": "text", "default": "dflt"},
+        ],
+    )
+    assert out == [
+        {
+            "title": "t1",
+            "first": {"href": "/a"},
+            "items": [{"t": "A", "href": "/a"}, {"t": "B", "href": "/b"}],
+            "missing": "dflt",
+        }
+    ]
+
+
+def test_xpath_schema_end_to_end():
+    from crawl4ai_spark.operators.extraction import extract_schema
+
+    html = '<body><div class="w"><p>hello</p><p>world</p></div></body>'
+    out = extract_schema(
+        html, "//div[@class='w']",
+        [{"name": "p2", "selector": ".//p[2]", "type": "text"}],
+        engine="xpath",
+    )
+    assert out == [{"p2": "world"}]

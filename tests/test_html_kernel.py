@@ -184,3 +184,82 @@ def test_extract_pages_spark(pages, spark):
     row = out.select("markdown.*").first()
     assert row.raw_markdown and "# Heading" in row.raw_markdown
     assert "⟨1⟩" in row.markdown_with_citations or "⟨1⟩" in row.references_markdown
+
+
+def test_scrape_config_knobs():
+    """T5/T6 config surface vs reference semantics
+    (content_scraping_strategy.py:845-1097)."""
+    r = scrape_page(
+        FIXTURE, URL,
+        excluded_tags=["nav", "footer"],
+        excluded_selector=".sidebar",
+        exclude_external_links=True,
+    )
+    c = r["cleaned_html"]
+    assert "<nav" not in c and "home" not in c
+    assert "copyright boilerplate" not in c
+    assert "short ad text" not in c
+    # external tracked link excluded from both tree and links list
+    assert "other.example" not in c
+    assert all(not lk["is_external"] for lk in r["links"])
+    # attribute whitelist: class/id gone, src/href/alt/title/width/height kept
+    assert "class=" not in c
+    assert 'src="/big.png"' in c and 'width="400"' in c
+
+
+def test_scrape_attr_whitelist_and_keep_attrs():
+    html = '<body><p class="x" data-k="v" id="p1" title="t">words here</p></body>'
+    c1 = scrape_page(html, URL)["cleaned_html"]
+    assert "class=" not in c1 and "data-k" not in c1 and 'title="t"' in c1
+    c2 = scrape_page(html, URL, keep_attrs=["id"], keep_data_attributes=True)["cleaned_html"]
+    assert 'id="p1"' in c2 and 'data-k="v"' in c2
+    c3 = scrape_page(html, URL, prune_attrs=False)["cleaned_html"]
+    assert 'class="x"' in c3
+
+
+def test_scrape_word_count_threshold():
+    html = "<body><div><p>one two</p></div><div><span></span></div></body>"
+    c = scrape_page(html, URL, word_count_threshold=2)["cleaned_html"]
+    assert "one two" in c
+    assert "<span>" not in c  # empty wrapper pruned
+
+
+def test_scrape_flatten_and_base64():
+    html = ('<body><div><div><p>deep text</p></div></div>'
+            '<img src="data:image/png;base64,AAAA" alt="b64" width="200" height="200">'
+            '</body>')
+    c = scrape_page(html, URL)["cleaned_html"]
+    assert c.count("<div>") == 1  # same-tag nesting flattened
+    assert "base64,AAAA" not in c  # base64 payload stripped
+    assert 'alt="b64"' in c
+
+
+def test_scrape_only_text():
+    html = "<body><p>keep <b>bold</b> and <span>span</span> text</p></body>"
+    c = scrape_page(html, URL, only_text=True)["cleaned_html"]
+    assert "<b>" not in c and "<span>" not in c
+    assert "bold" in c and "span" in c
+
+
+def test_link_intrinsic_score_exact_formula():
+    """Exact restatement of utils.py:3123-3237 on hand-computed cases."""
+    from crawl4ai_spark.html.scrape import extract_page_context, link_intrinsic_score
+
+    ctx = extract_page_context("Spark Guide", "Intro Heading", "about spark", 
+                               "https://docs.site.example/x")
+    assert ctx["is_docs_site"]
+    assert "spark" in ctx["terms"] and "guide" in ctx["terms"]
+    # https(0.5) + depth<=2(1.0) + /guide/(2.0) + text>3(1.0) + 2words(0.5)
+    # + overlap {spark,guide}/2*2 (2.0) + docs-site keyword 'guide' (1.0) = 8.0
+    s = link_intrinsic_score("spark guide", "https://docs.site.example/guide/a",
+                             "", "", "", ctx)
+    assert abs(s - 8.0) < 1e-9
+    # generic text penalty + no-context baseline
+    s2 = link_intrinsic_score("here", "http://x.example/a/b/c/d/e/f/g", "", "", "", {})
+    # depth 7 > 5 (-0.5), no https, len('here')>3 (+1.0), 1 word, generic (-1.0)
+    assert abs(s2 - (-0.5 + 1.0 - 1.0 + 0.0)) < 1e-9 or s2 == 0.0
+    assert s2 == 0.0  # clamped at 0
+    s3 = link_intrinsic_score("x", "https://a.example/", "Long Title Here",
+                              "menu primary", "nofollow", {})
+    # title(1.0) + nav class(1.5) + bad rel(-0.5) + depth(1.0) + https(0.5)
+    assert abs(s3 - 3.5) < 1e-9
