@@ -159,6 +159,15 @@ class MarkdownEmitter(HTMLParser):
         self._abbr_title: str | None = None
         self._abbr_buf: str | None = None
         self._abbr_defs: dict[str, str] = {}
+        # urljoin memo (pure function of (base_url, href) — pages repeat hrefs)
+        self._join_memo: dict[str, str] = {}
+
+    def _join(self, href: str) -> str:
+        out = self._join_memo.get(href)
+        if out is None:
+            out = urllib.parse.urljoin(self.base_url, href)
+            self._join_memo[href] = out
+        return out
 
     # ------------------------------------------------------------------ out
 
@@ -464,7 +473,7 @@ class MarkdownEmitter(HTMLParser):
                         self._auto_href = None
                     self._breaks = 0
                     title = _escape_link_part(link.get("title") or "")
-                    url = urllib.parse.urljoin(self.base_url, link["href"])
+                    url = self._join(link["href"])
                     suffix = ' "{}"'.format(title) if title.strip() else ""
                     self._emit("](" + _escape_link_part(url) + suffix + ")")
 
@@ -480,7 +489,7 @@ class MarkdownEmitter(HTMLParser):
             self._auto_href = None
             self._a_empty = False
         self._emit("![" + _escape_link_part(alt) + "]")
-        self._emit("(" + _escape_link_part(urllib.parse.urljoin(self.base_url, src)) + ")")
+        self._emit("(" + _escape_link_part(self._join(src)) + ")")
 
     def _tag_dl(self, attrs, start):
         if start:

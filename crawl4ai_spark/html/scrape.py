@@ -276,13 +276,15 @@ def _walk_element(el: Node, st: _ScrapeState) -> bool:
         norm = normalize_url(href, st.url)
         if not norm:
             return False
+        link_text = el.text().strip()
+        link_title = (el.attrs.get("title") or "").strip()
         link_data = {
             "href": norm,
-            "text": el.text().strip(),
-            "title": (el.attrs.get("title") or "").strip(),
+            "text": link_text,
+            "title": link_title,
             "base_domain": st.base_domain,
             "intrinsic_score": link_intrinsic_score(
-                el.text().strip(), norm, (el.attrs.get("title") or "").strip(),
+                link_text, norm, link_title,
                 el.attrs.get("class") or "", el.attrs.get("rel") or "",
                 st.page_context,
             ),

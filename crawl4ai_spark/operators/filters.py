@@ -201,6 +201,94 @@ def url_validity_filter(url: Column, depth: Column | None = None) -> Column:
     return valid
 
 
+SEO_DEFAULT_WEIGHTS = {
+    "title_length": 0.15,
+    "title_kw": 0.18,
+    "meta_description": 0.12,
+    "canonical": 0.10,
+    "robot_ok": 0.20,
+    "schema_org": 0.10,
+    "url_quality": 0.15,
+}
+
+
+def seo_score_col(
+    head: Column,
+    url: Column,
+    keywords: list[str] | None = None,
+    weights: dict[str, float] | None = None,
+) -> Column:
+    """F6 SEOFilter score — exact restatement of the reference's weighted
+    head-section assessment (deep_crawling/filters.py:576-687): title
+    length banding, keyword hits (0.3 each, capped), meta-description
+    length, canonical match, robots noindex gate, ld+json detection, and
+    URL-quality penalty multipliers. Pure Catalyst over the head string."""
+    w = weights or SEO_DEFAULT_WEIGHTS
+    title = F.regexp_extract(head, "<title>([^<]*)</title>", 1)
+    tlen = F.length(title)
+    title_length = (
+        F.when((tlen >= 50) & (tlen <= 60), 1.0)
+        .when(((tlen >= 40) & (tlen < 50)) | ((tlen > 60) & (tlen <= 70)), 0.7)
+        .otherwise(0.3)
+    )
+    if keywords:
+        pat = r"(?i)\b(" + "|".join(re.escape(k) for k in keywords) + r")\b"
+        hits = F.size(F.regexp_extract_all(title, F.lit(pat), F.lit(0)))
+        title_kw = F.least(hits.cast("double") * 0.3, F.lit(1.0))
+    else:
+        title_kw = F.lit(0.0)
+    desc = F.regexp_extract(head, 'name="description" content="([^"]*)"', 1)
+    dlen = F.length(desc)
+    meta_description = (
+        F.when((dlen >= 140) & (dlen <= 160), 1.0)
+        .when((dlen >= 120) & (dlen <= 200), 0.5)
+        .otherwise(0.2)
+    )
+    canonical = F.regexp_extract(head, 'rel="canonical"[^>]*href="([^"]*)"', 1)
+    canonical_score = (
+        F.when(canonical == "", 0.5).when(canonical == url, 1.0).otherwise(0.2)
+    )
+    robots = F.regexp_extract(head, 'name="robots" content="([^"]*)"', 1)
+    robot_ok = F.when(robots.contains("noindex"), 0.0).otherwise(1.0)
+    schema_org = F.when(
+        head.rlike(r"<script[^>]+type=[\"']application/ld\+json"), 1.0
+    ).otherwise(0.0)
+    path = F.lower(F.regexp_extract(url, r"^[a-zA-Z+]+://[^/]+([^?#]*)", 1))
+    has_query = url.rlike(r"\?")
+    url_quality = (
+        F.lit(1.0)
+        * F.when(F.length(path) > 80, 0.7).otherwise(1.0)
+        * F.when(path.rlike(r"\d{4}"), 0.8).otherwise(1.0)
+        * F.when(has_query, 0.6).otherwise(1.0)
+        * F.when(path.contains("_"), 0.9).otherwise(1.0)
+    )
+    parts = {
+        "title_length": title_length,
+        "title_kw": title_kw,
+        "meta_description": meta_description,
+        "canonical": canonical_score,
+        "robot_ok": robot_ok,
+        "schema_org": schema_org,
+        "url_quality": url_quality,
+    }
+    total = None
+    for factor, weight in w.items():
+        term = F.lit(weight) * parts[factor]
+        total = term if total is None else total + term
+    return total
+
+
+def seo_filter(
+    head: Column,
+    url: Column,
+    threshold: float = 0.65,
+    keywords: list[str] | None = None,
+    weights: dict[str, float] | None = None,
+) -> Column:
+    """Boolean F6 gate: seo_score ≥ threshold."""
+    return seo_score_col(head, url, keywords, weights) >= F.lit(threshold)
+
+
 class FilterChain:
     """Conjunction of filter Columns with pass/reject stats (F1).
 
