@@ -318,15 +318,18 @@ class CrawlRun:
             "visit_order", F.lit(pages_crawled) + F.col("visit_rank")
         ).drop("visit_rank")
         results = results.cache()
-        # one agg job for every counter (instead of one job per counter)
-        counters = results.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("success").cast("int")).alias("fetched"),
-            F.sum((F.col("status_code") == 403).cast("int")).alias("blocked"),
-        ).first()
-        n_results = counters["n"]
-        n_fetched = counters["fetched"] or 0
-        n_blocked = counters["blocked"] or 0
+        # ONE job yields both the scalar counters and the per-partition
+        # fetch lineage (the collected set is ≤ #partitions rows)
+        fetch_parts = results.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.count(F.lit(1)).alias("urls_in"),
+            F.sum(F.col("success").cast("long")).alias("fetched"),
+            F.sum((F.col("status_code") == 403).cast("long")).alias("robots_blocked"),
+        ).collect()
+        n_results = sum(r["urls_in"] for r in fetch_parts)
+        n_fetched = sum(r["fetched"] or 0 for r in fetch_parts)
+        n_blocked = sum(r["robots_blocked"] or 0 for r in fetch_parts)
         t = _lap("fetch_extract", t)
 
         # P2: evolve per-host delays from this iteration's statuses
@@ -416,15 +419,23 @@ class CrawlRun:
             )
             .cache()
         )
-        n_candidates = candidates.count()
+        # one job: candidate count AND per-partition discover lineage
+        disc_parts = candidates.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("emitted")).collect()
+        n_candidates = sum(r["emitted"] for r in disc_parts)
         remaining_after = remaining - n_results
         if remaining_after <= 0:
             new_urls, n_new = candidates.limit(0), 0
+            disc_parts = []
         elif n_candidates > remaining_after:
             new_urls = capacity_topk(
                 candidates, remaining_after, salt=cfg.salt
             ).cache()
             n_new = remaining_after  # row_number ≤ k keeps exactly k rows
+            disc_parts = new_urls.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(F.count(F.lit(1)).alias("emitted")).collect()
         else:
             new_urls, n_new = candidates, n_candidates
         t = _lap("discover_dedup", t)
@@ -433,39 +444,31 @@ class CrawlRun:
         # 'fetch' rows carry per-partition urls-in/fetched/blocked of the
         # extraction stage (the skew evidence: a salted hot host shows up
         # as balanced partition row counts here), 'discover' rows carry
-        # per-partition emitted counts of the dedup output.
+        # per-partition emitted counts of the dedup output. Both were
+        # already collected alongside the counters (≤ #partitions rows),
+        # so the lineage table is a driver-side literal — no extra jobs.
         t_now = time.time()
-        fetch_lin = results.groupBy(
-            F.spark_partition_id().alias("partition_id")
-        ).agg(
-            F.count(F.lit(1)).alias("urls_in"),
-            F.sum(F.col("success").cast("long")).alias("fetched"),
-            F.sum((F.col("status_code") == 403).cast("long")).alias("robots_blocked"),
-        ).select(
-            F.lit(iteration).alias("iteration"),
-            F.lit("fetch").alias("stage"),
-            "partition_id",
-            "urls_in",
-            "fetched",
-            "robots_blocked",
-            F.lit(0).cast("long").alias("emitted"),
-            F.lit(t0).alias("t_start"),
-            F.lit(t_now).alias("t_end"),
+        lineage_rows = [
+            (iteration, "fetch", r["partition_id"], r["urls_in"],
+             r["fetched"] or 0, r["robots_blocked"] or 0, 0)
+            for r in fetch_parts
+        ] + [
+            (iteration, "discover", r["partition_id"], 0, 0, 0, r["emitted"])
+            for r in disc_parts
+        ]
+        # JVM-side VALUES relation — createDataFrame from Python rows would
+        # put a Python runner in the write plan and pay a full worker spawn
+        values = ", ".join(
+            f"(CAST({it} AS INT), '{stage}', CAST({pid} AS INT), "
+            f"CAST({u} AS BIGINT), CAST({fe} AS BIGINT), CAST({rb} AS BIGINT), "
+            f"CAST({em} AS BIGINT), CAST({t0!r} AS DOUBLE), CAST({t_now!r} AS DOUBLE))"
+            for it, stage, pid, u, fe, rb, em in lineage_rows
         )
-        disc_lin = new_urls.groupBy(
-            F.spark_partition_id().alias("partition_id")
-        ).agg(F.count(F.lit(1)).alias("emitted")).select(
-            F.lit(iteration).alias("iteration"),
-            F.lit("discover").alias("stage"),
-            "partition_id",
-            F.lit(0).cast("long").alias("urls_in"),
-            F.lit(0).cast("long").alias("fetched"),
-            F.lit(0).cast("long").alias("robots_blocked"),
-            "emitted",
-            F.lit(t0).alias("t_start"),
-            F.lit(t_now).alias("t_end"),
+        lineage = self.spark.sql(
+            f"SELECT * FROM VALUES {values} AS t(iteration, stage, "
+            "partition_id, urls_in, fetched, robots_blocked, emitted, "
+            "t_start, t_end)"
         )
-        lineage = fetch_lin.unionByName(disc_lin)
 
         # coalesce small snapshot appends: a snapshot read at iteration k
         # unions k data dirs, so file count per dir must track data size,
