@@ -1,14 +1,26 @@
-"""Fit-text pruning — density-scored boilerplate removal.
+"""Fit-text pruning — EXACT restatement of the reference's
+PruningContentFilter (behavioral spec:
+/root/reference/crawl4ai/content_filter_strategy.py:533-777):
 
-From-scratch restatement of the reference's PruningContentFilter semantics
-(behavioral spec: /root/reference/crawl4ai/content_filter_strategy.py:533-777
-— strip chrome tags, then bottom-up composite scoring of
-text-density / link-density / tag-weight / class-id-weight / text-length and
-removal below a fixed threshold, default 0.48; survivors are the serialized
-top-level children, later wrapped in <div> for fit_markdown per
-markdown_generation_strategy.py:235-239).
+1. remove excluded tags (nav/footer/header/aside/script/style/form/
+   iframe/noscript) and comments;
+2. TOP-DOWN tree prune from <body>: each node gets a composite score
+   0.4·text_density + 0.2·(1−link_density) + 0.2·tag_weight
+   + 0.1·max(0, class_id_weight) + 0.1·ln(text_len+1); below the
+   threshold (fixed 0.48, or the dynamic tag-importance-adjusted variant)
+   the whole subtree is dropped, otherwise its children are judged;
+3. survivors = body's remaining element children with non-empty text,
+   serialized; the markdown stage wraps each in <div>
+   (markdown_generation_strategy.py:235-239).
 
-Pure function — runs inside the extraction pandas UDF.
+Reference quirks preserved: text_len counts the ''-joined stripped text
+runs (no separators), link_text_len counts only DIRECT <a> children whose
+content is a single string, class/id penalties apply only when the
+negative pattern matches at the START of the attribute, the text-length
+term is uncapped ln, and min_word_threshold counts words as
+text.count(' ')+1 over the separator-less text.
+
+Pure functions — run inside the extraction pandas UDF.
 """
 
 from __future__ import annotations
@@ -18,94 +30,168 @@ import re
 
 from crawl4ai_spark.html.parser import Node, parse_html
 
-CHROME_TAGS = (
+EXCLUDED_TAGS = (
     "nav", "footer", "header", "aside", "script", "style", "form",
     "iframe", "noscript",
 )
 
-_TAG_WEIGHTS = {
-    "article": 1.0, "main": 1.0, "p": 1.0, "h1": 0.9, "h2": 0.9, "h3": 0.85,
-    "h4": 0.8, "h5": 0.8, "h6": 0.8, "pre": 0.9, "code": 0.8, "blockquote": 0.8,
-    "section": 0.7, "table": 0.7, "ul": 0.6, "ol": 0.6, "li": 0.5,
-    "td": 0.4, "div": 0.5, "span": 0.3, "a": 0.2,
+TAG_WEIGHTS = {
+    "div": 0.5, "p": 1.0, "article": 1.5, "section": 1.0, "span": 0.3,
+    "li": 0.5, "ul": 0.5, "ol": 0.5, "h1": 1.2, "h2": 1.1, "h3": 1.0,
+    "h4": 0.9, "h5": 0.8, "h6": 0.7,
 }
 
-_NEG_CLASS = re.compile(
-    r"(sidebar|footer|header|nav|menu|comment|widget|ad[sv]?|promo|banner|share|social|related|popup)",
-    re.I,
+TAG_IMPORTANCE = {
+    "article": 1.5, "main": 1.4, "section": 1.3, "p": 1.2, "h1": 1.4,
+    "h2": 1.3, "h3": 1.2, "div": 0.7, "span": 0.6,
+}
+
+METRIC_WEIGHTS = {
+    "text_density": 0.4,
+    "link_density": 0.2,
+    "tag_weight": 0.2,
+    "class_id_weight": 0.1,
+    "text_length": 0.1,
+}
+
+_NEGATIVE = re.compile(
+    r"nav|footer|header|sidebar|ads|comment|promo|advert|social|share", re.I
 )
-_POS_CLASS = re.compile(r"(content|article|main|post|body|entry|text|story)", re.I)
 
 
-def _class_id_weight(node: Node) -> float:
-    blob = " ".join([node.attrs.get("class") or "", node.attrs.get("id") or ""])
-    w = 0.0
-    if _NEG_CLASS.search(blob):
-        w -= 1.0
-    if _POS_CLASS.search(blob):
-        w += 1.0
-    return w
+def _text_concat(node: Node) -> str:
+    """bs4 ``get_text(strip=True)``: stripped runs joined WITHOUT spaces."""
+    parts: list[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if c.is_text:
+                t = c.attrs["text"].strip()
+                if t:
+                    parts.append(t)
+            else:
+                walk(c)
+
+    walk(node)
+    return "".join(parts)
 
 
-def _link_text_len(node: Node) -> int:
-    return sum(len(a.text()) for a in node.find_all("a"))
+def _single_string(node: Node) -> str | None:
+    """bs4 ``.string``: the node's single string descendant through
+    single-child chains, else None."""
+    while True:
+        kids = node.children
+        if len(kids) != 1:
+            return None
+        only = kids[0]
+        if only.is_text:
+            return only.attrs["text"]
+        node = only
 
 
-def node_score(node: Node) -> float:
-    """Composite content score in [0, ~1.1] (weights mirror the reference's
-    0.4/0.2/0.2/0.1/0.1 composition, content_filter_strategy.py:729-764)."""
-    text = node.text()
+def node_score(node: Node, min_word_threshold: int | None = None) -> float:
+    """The reference's composite score (content_filter_strategy.py:729-764)."""
+    text = _text_concat(node)
     text_len = len(text)
-    total_len = max(1, len(node.serialize()))
-    text_density = text_len / total_len
-    link_density = _link_text_len(node) / text_len if text_len else 1.0
-    tag_weight = _TAG_WEIGHTS.get(node.tag, 0.5)
-    cls_w = _class_id_weight(node)
-    len_factor = min(1.0, math.log(text_len + 1) / 8.0)
-    return (
-        0.4 * text_density
-        + 0.2 * (1.0 - link_density)
-        + 0.2 * tag_weight
-        # DELIBERATE DIVERGENCE from the reference's 0.1 class weight
-        # (content_filter_strategy.py:748): our [0,~1.1] composite needs
-        # 0.15 for a negative chrome class to sink an otherwise-dense node
-        # below the 0.48 threshold; at 0.1 the sidebar fixture survives.
-        + 0.15 * cls_w
-        + 0.1 * len_factor
+    if min_word_threshold:
+        if text.count(" ") + 1 < min_word_threshold:
+            return -1.0
+    tag_len = len(node.serialize_children())
+    link_text_len = 0
+    for c in node.children:
+        if not c.is_text and c.tag == "a":
+            s = _single_string(c)
+            if s:
+                link_text_len += len(s.strip())
+
+    score = 0.0
+    density = text_len / tag_len if tag_len > 0 else 0
+    score += METRIC_WEIGHTS["text_density"] * density
+    link_density = 1 - (link_text_len / text_len if text_len > 0 else 0)
+    score += METRIC_WEIGHTS["link_density"] * link_density
+    score += METRIC_WEIGHTS["tag_weight"] * TAG_WEIGHTS.get(node.tag, 0.5)
+    class_score = 0.0
+    if node.attrs.get("class"):
+        if _NEGATIVE.match(node.attrs["class"]):
+            class_score -= 0.5
+    if node.attrs.get("id"):
+        if _NEGATIVE.match(node.attrs["id"]):
+            class_score -= 0.5
+    score += METRIC_WEIGHTS["class_id_weight"] * max(0, class_score)
+    score += METRIC_WEIGHTS["text_length"] * math.log(text_len + 1)
+    return score  # total_weight is 1.0 with every metric enabled
+
+
+def _dynamic_threshold(node: Node, base: float) -> float:
+    text_len = len(_text_concat(node))
+    tag_len = len(node.serialize_children())
+    link_text_len = 0
+    for c in node.children:
+        if not c.is_text and c.tag == "a":
+            s = _single_string(c)
+            if s:
+                link_text_len += len(s.strip())
+    threshold = base
+    if TAG_IMPORTANCE.get(node.tag, 0.7) > 1:
+        threshold *= 0.8
+    if (text_len / tag_len if tag_len > 0 else 0) > 0.4:
+        threshold *= 0.9
+    if (link_text_len / text_len if text_len > 0 else 1) > 0.6:
+        threshold *= 1.2
+    return threshold
+
+
+def _prune_tree(
+    node: Node,
+    threshold: float,
+    threshold_type: str,
+    min_word_threshold: int | None,
+) -> None:
+    """Top-down: judge the node; removal drops the subtree, survival
+    recurses into the element children (spec :677-727)."""
+    score = node_score(node, min_word_threshold)
+    limit = (
+        threshold
+        if threshold_type == "fixed"
+        else _dynamic_threshold(node, threshold)
     )
+    if score < limit:
+        node.detach()
+        node.children = []  # bs4 decompose(): the subtree is gone even if
+        return              # the caller still holds the node
+    for child in [c for c in node.children if not c.is_text]:
+        _prune_tree(child, threshold, threshold_type, min_word_threshold)
 
 
-def _prune(node: Node, threshold: float) -> None:
-    """Bottom-up: prune grandchildren first, then judge each child."""
-    for child in list(node.children):
-        if child.is_text:
-            continue
-        _prune(child, threshold)
-        # void/empty structural leftovers with no text get removed
-        if child.tag in ("img", "br", "hr"):
-            continue
-        if node_score(child) < threshold:
-            child.detach()
-
-
-def prune_fit_html(html: str, threshold: float = 0.48) -> tuple[list[str], str]:
-    """Returns (surviving_blocks, fit_html). fit_html wraps each surviving
-    top-level block in <div> exactly as the reference feeds fit content to
-    its markdown stage."""
-    root = parse_html(html or "")
-    root.remove_tags(*CHROME_TAGS)
+def prune_content_blocks(
+    html: str,
+    threshold: float = 0.48,
+    threshold_type: str = "fixed",
+    min_word_threshold: int | None = None,
+) -> list[str]:
+    """filter_content surface: surviving top-level element blocks of the
+    body (non-empty text), serialized."""
+    if not html or not isinstance(html, str):
+        return []
+    root = parse_html(html)
+    root.remove_tags(*EXCLUDED_TAGS)
     body = root.find("body") or root
-    _prune(body, threshold)
-    blocks = [
+    _prune_tree(body, threshold, threshold_type, min_word_threshold)
+    return [
         c.serialize()
         for c in body.children
-        if not c.is_text and c.text().strip()
+        if not c.is_text and _text_concat(c)
     ]
-    # top-level loose text survives as its own block
-    blocks += [
-        c.attrs["text"].strip()
-        for c in body.children
-        if c.is_text and c.attrs["text"].strip()
-    ]
+
+
+def prune_fit_html(
+    html: str,
+    threshold: float = 0.48,
+    threshold_type: str = "fixed",
+    min_word_threshold: int | None = None,
+) -> tuple[list[str], str]:
+    """(blocks, fit_html): fit_html wraps each surviving block in <div>
+    exactly as the reference feeds fit content to its markdown stage."""
+    blocks = prune_content_blocks(html, threshold, threshold_type, min_word_threshold)
     fit_html = "\n".join(f"<div>{b}</div>" for b in blocks)
     return blocks, fit_html

@@ -141,10 +141,36 @@ def test_pruning_keeps_article_drops_chrome():
     blocks, fit_html = prune_fit_html(FIXTURE)
     joined = "\n".join(blocks)
     assert "main article body" in joined
-    assert "home" not in joined  # nav stripped
-    assert "copyright" not in joined  # footer stripped
-    assert "short ad text" not in joined  # sidebar pruned by class+density
+    assert "home" not in joined  # nav removed as an excluded tag
+    assert "copyright" not in joined  # footer removed as an excluded tag
+    # EXACT reference semantics: the short sidebar div SURVIVES — its text
+    # density is high, and the class/id metric is max(0, ·)-floored so a
+    # negative class can never sink a node (content_filter_strategy.py:762)
+    assert "short ad text" in joined
     assert fit_html.startswith("<div>")
+
+
+def test_pruning_drops_link_farms():
+    farm = (
+        "<body><article><p>Real content paragraph with plenty of words to"
+        " keep the density credible and long.</p></article>"
+        "<div><a href='/1'>x</a> <a href='/2'>y</a> <a href='/3'>z</a></div>"
+        "</body>"
+    )
+    blocks, _ = prune_fit_html(farm)
+    joined = "\n".join(blocks)
+    assert "Real content" in joined
+    assert "href='/1'" not in joined and '/1' not in joined
+
+
+def test_pruning_min_word_threshold_and_dynamic():
+    html = "<body><p>one two three</p><p>longer paragraph with many words present here</p></body>"
+    keep_all, _ = prune_fit_html(html, threshold=0.1)
+    assert len(keep_all) == 2
+    few, _ = prune_fit_html(html, threshold=0.1, min_word_threshold=4)
+    assert len(few) == 1 and "longer paragraph" in few[0]
+    dyn, _ = prune_fit_html(FIXTURE, threshold_type="dynamic")
+    assert any("main article body" in b for b in dyn)
 
 
 def test_pruning_deterministic():
