@@ -38,14 +38,31 @@ _EMPTY_MARKDOWN = {
 }
 
 
-def _markdown_dict(cleaned_html: str, url: str) -> dict:
+def _markdown_dict(
+    cleaned_html: str, url: str, fit_filter: str = "pruning", **fit_kwargs
+) -> dict:
+    """The generator pipeline per page. ``fit_filter`` picks the content
+    filter feeding fit_markdown — 'pruning' (PruningContentFilter
+    restatement, the common default), 'bm25' (the full BM25 filter; accepts
+    user_query/bm25_threshold/use_stemming kwargs), or None (reference
+    default: no filter, empty fit output)."""
     raw, cited, refs = generate_markdown_parts(cleaned_html, url or "")
-    _, fit_html = prune_fit_html(cleaned_html)
+    if fit_filter == "pruning":
+        _, fit_html = prune_fit_html(cleaned_html, **fit_kwargs)
+    elif fit_filter == "bm25":
+        from crawl4ai_spark.html.bm25_filter import bm25_filter_content
+
+        blocks = bm25_filter_content(cleaned_html, **fit_kwargs)
+        fit_html = "\n".join(f"<div>{b}</div>" for b in blocks)
+    elif fit_filter is None:
+        fit_html = ""
+    else:
+        raise ValueError(f"unknown fit_filter: {fit_filter!r}")
     return {
         "raw_markdown": raw,
         "markdown_with_citations": cited,
         "references_markdown": refs,
-        "fit_markdown": html_to_markdown(fit_html, url or ""),
+        "fit_markdown": html_to_markdown(fit_html, url or "") if fit_html else "",
         "fit_html": fit_html,
     }
 
@@ -173,17 +190,53 @@ def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+def make_extract_udf(fit_filter: str | None = "pruning", **fit_kwargs):
+    """Fused extract UDF with a configurable fit content filter
+    ('pruning' | 'bm25' | None — the reference's pluggable content_filter)."""
+
+    @F.pandas_udf(EXTRACT_RESULT_STRUCT)
+    def configured_extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h, u in zip(html, url):
+            if h is None:
+                rows.append({**_EMPTY_SCRAPE, **_EMPTY_MARKDOWN})
+                continue
+            if isinstance(h, (bytes, bytearray)):
+                h = bytes(h).decode("utf-8", errors="replace")
+            s = scrape_page(h, u or "")
+            m = (
+                _markdown_dict(s["cleaned_html"], u or "", fit_filter, **fit_kwargs)
+                if s["cleaned_html"] is not None
+                else dict(_EMPTY_MARKDOWN)
+            )
+            rows.append({**s, **m})
+        return pd.DataFrame(rows)
+
+    return configured_extract_udf
+
+
+def extract_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    fit_filter: str | None = "pruning",
+    **fit_kwargs,
+) -> DataFrame:
     """pages(url, html, ...) → + scrape struct + markdown struct columns.
 
     Output columns: everything in ``pages`` plus
     ``scrape:  struct<cleaned_html,text,links,media,tables,metadata,lang,success>``
     ``markdown: struct<raw_markdown,markdown_with_citations,references_markdown,fit_markdown,fit_html>``
 
-    Internally runs the FUSED extract_udf (one Arrow round trip) and
+    Internally runs the FUSED extract UDF (one Arrow round trip) and
     re-nests the flat result into the two structs JVM-side (free).
+    ``fit_filter`` selects the content filter for fit_markdown.
     """
-    out = pages.withColumn("_x", extract_udf(F.col(html_col), F.col(url_col)))
+    if fit_filter == "pruning" and not fit_kwargs:
+        udf = extract_udf  # the shared default instance
+    else:
+        udf = make_extract_udf(fit_filter, **fit_kwargs)
+    out = pages.withColumn("_x", udf(F.col(html_col), F.col(url_col)))
     scrape_struct = F.struct(
         *[F.col(f"_x.{f.name}") for f in SCRAPE_RESULT_STRUCT.fields]
     ).alias("scrape")

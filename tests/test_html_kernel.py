@@ -289,3 +289,18 @@ def test_link_intrinsic_score_exact_formula():
                               "menu primary", "nofollow", {})
     # title(1.0) + nav class(1.5) + bad rel(-0.5) + depth(1.0) + https(0.5)
     assert abs(s3 - 3.5) < 1e-9
+
+
+def test_extract_fit_filter_choice(pages, spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.plans import extract_pages
+
+    sample = pages.limit(5)
+    bm25 = extract_pages(sample, fit_filter="bm25", bm25_threshold=0.5,
+                         use_stemming=False)
+    none = extract_pages(sample, fit_filter=None)
+    b = bm25.select(F.sum(F.length("markdown.fit_markdown")).alias("n")).first()
+    z = none.select(F.sum(F.length("markdown.fit_markdown")).alias("n")).first()
+    assert b.n > 0      # bm25 filter produced fit content
+    assert z.n == 0     # reference default: no filter -> empty fit output
