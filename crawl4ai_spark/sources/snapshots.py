@@ -103,6 +103,24 @@ class SnapshotTable:
     def is_empty(self) -> bool:
         return self.current_snapshot_id() is None
 
+    def stream(self, spark: SparkSession):
+        """Structured-Streaming reader over an APPEND-ONLY snapshot table:
+        every data dir matches one glob, so the parquet file source
+        discovers each committed append as new files — the continuous
+        analog of ``read_since`` (crawl results as they complete, the
+        reference's ``stream=True`` delivery). The schema is pinned from
+        the current snapshot; at least one snapshot must exist.
+
+        Pair with ``.trigger(availableNow=True)`` for catch-up batches or
+        a processing-time trigger to tail a live crawl."""
+        current = self.read(spark)
+        if current is None:
+            raise ValueError(f"cannot stream {self.root}: no committed snapshot")
+        return (
+            spark.readStream.schema(current.schema)
+            .parquet(os.path.join(self.root, "data-*"))
+        )
+
     def read_since(
         self, spark: SparkSession, after_snapshot_id: int | None
     ) -> tuple[int | None, DataFrame | None]:

@@ -237,3 +237,44 @@ def test_stream_results_tailing(spark, pages, tmp_path):
     # and a repeat read at the same cursor yields nothing new
     _, nothing = run.t_results.read_since(spark, cursor)
     assert nothing is None
+
+
+def test_streaming_tail_of_results(spark, pages, sf_dir):
+    """Structured Streaming over the results snapshot table: an
+    availableNow pass delivers exactly the committed rows, and a second
+    pass after another iteration delivers only the delta."""
+    import tempfile
+
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
+
+    wd = tempfile.mkdtemp(prefix="stream_")
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3), wd,
+        CrawlConfig(mode="bfs", max_pages=40, max_depth=3, iteration_budget=10),
+    )
+    run.run_iteration()
+    committed = run.results().count()
+
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="stream_out_")
+
+    def drain():
+        q = (
+            run.t_results.stream(spark)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == committed
+
+    run.run_iteration()
+    committed2 = run.results().count()
+    assert committed2 > committed
+    drain()  # checkpointed cursor: only the delta files are processed
+    assert spark.read.parquet(out_dir).count() == committed2

@@ -67,3 +67,31 @@ def test_corpus_goldens_byte_identical():
     for url, html_str in rows:
         raw, cited, refs = generate_markdown_parts(html_str, url)
         assert (_md5(raw), _md5(cited), _md5(refs)) == want[url], url
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/crawl4ai/html2text"),
+    reason="reference checkout absent",
+)
+def test_live_differential_against_reference():
+    """When the reference checkout is present, EXECUTE its generator over
+    the committed fixture battery plus a deterministic fuzz sample and
+    byte-compare — the goldens can never silently go stale."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import diff_markdown
+    from ref_markdown import reference_markdown
+
+    bad = 0
+    cases = list(enumerate(FIXTURES)) + [
+        (f"fuzz{i}", d) for i, d in enumerate(diff_markdown._fuzz_docs(300))
+    ]
+    for _i, doc in cases:
+        try:
+            want = reference_markdown(doc, FIXTURE_BASE)
+        except Exception:
+            continue
+        if generate_markdown_parts(doc, FIXTURE_BASE) != want:
+            bad += 1
+    assert bad == 0
