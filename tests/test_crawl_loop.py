@@ -278,3 +278,33 @@ def test_streaming_tail_of_results(spark, pages, sf_dir):
     assert committed2 > committed
     drain()  # checkpointed cursor: only the delta files are processed
     assert spark.read.parquet(out_dir).count() == committed2
+
+
+def test_kb_export_import_roundtrip(spark, pages, tmp_path):
+    """S12: export the crawl results as a JSONL knowledge base (one JSON
+    doc per line, distributed part files) and read it back losslessly."""
+    import tempfile
+
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.kb_export import (
+        export_knowledge_base,
+        import_knowledge_base,
+    )
+    from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
+
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3),
+        tempfile.mkdtemp(prefix="kb_"),
+        CrawlConfig(mode="bfs", max_pages=20, max_depth=2, iteration_budget=10),
+    )
+    run.run(max_iterations=2)
+    results = run.results()
+    out = str(tmp_path / "kb_jsonl")
+    export_knowledge_base(results, out, fmt="jsonl")
+    back = import_knowledge_base(spark, out, fmt="jsonl")
+    assert back.count() == results.count()
+    assert {"url", "timestamp", "success", "content", "crawl_order"} <= set(back.columns)
+    ok = results.filter("success")
+    got = {r.url: r.content for r in back.collect() if r.success}
+    want = {r.url: r.raw_markdown for r in ok.select("url", "raw_markdown").collect()}
+    assert got == want
