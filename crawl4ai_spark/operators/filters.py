@@ -201,6 +201,54 @@ def url_validity_filter(url: Column, depth: Column | None = None) -> Column:
     return valid
 
 
+def content_relevance_score_col(
+    head: Column,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: int = 1000,
+) -> Column:
+    """F5 ContentRelevanceFilter score — exact restatement of the
+    reference's head-section BM25 (deep_crawling/filters.py:501-575):
+    weighted document = title·3 ⊕ description·2 ⊕ keywords ⊕ all meta
+    values (string REPETITION, so copy boundaries merge tokens — quirk
+    preserved), simplified idf = ln(2/(tf+0.5)+1), fixed avgdl."""
+    title = F.regexp_extract(head, "<title>([^<]*)</title>", 1)
+    desc = F.regexp_extract(head, 'name="description" content="([^"]*)"', 1)
+    kw = F.regexp_extract(head, 'name="keywords" content="([^"]*)"', 1)
+    meta_values = F.concat_ws(" ", desc, kw)  # document order in the head
+    doc = F.concat(
+        F.repeat(title, 3), F.lit(" "),
+        F.repeat(desc, 2), F.lit(" "),
+        kw, F.lit(" "),
+        meta_values,
+    )
+    tokens = F.filter(F.split(F.lower(doc), r"\s+"), lambda t: t != "")
+    doc_len = F.size(tokens).cast("double")
+    score = F.lit(0.0)
+    for term in sorted(set(query.lower().split())):
+        tf = F.size(F.filter(tokens, _isin_term(term))).cast("double")
+        idf = F.log(F.lit(2.0) / (tf + F.lit(0.5)) + F.lit(1.0))
+        numerator = tf * F.lit(k1 + 1)
+        denominator = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (doc_len / F.lit(float(avgdl)))
+        )
+        score = score + idf * (numerator / denominator)
+    return score
+
+
+def _isin_term(term: str):
+    """One-arg lambda factory (two-param lambdas get the array index)."""
+    return lambda t: t == term
+
+
+def content_relevance_filter(
+    head: Column, query: str, threshold: float, **kwargs
+) -> Column:
+    """Boolean F5 gate: head-BM25 relevance ≥ threshold."""
+    return content_relevance_score_col(head, query, **kwargs) >= F.lit(threshold)
+
+
 SEO_DEFAULT_WEIGHTS = {
     "title_length": 0.15,
     "title_kw": 0.18,
