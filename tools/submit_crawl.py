@@ -30,8 +30,16 @@ def main() -> int:
     ap.add_argument("--max-pages", type=int, default=100)
     ap.add_argument("--max-depth", type=int, default=4)
     ap.add_argument("--host-budget", type=int, default=10)
+    ap.add_argument("--iteration-budget", type=int, default=None,
+                    help="global per-iteration page cap; bounds the fetch "
+                         "slice independently of --max-pages")
     ap.add_argument("--iterations", type=int, default=5)
-    ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="adaptive per-host politeness delays")
+    ap.add_argument("--query", default=None,
+                    help="run the adaptive crawl-until-confident loop for "
+                         "this query instead of a fixed iteration count")
+    ap.add_argument("--confidence", type=float, default=0.7)
     args = ap.parse_args()
 
     # Under spark-submit the session already exists; getOrCreate attaches.
@@ -45,22 +53,44 @@ def main() -> int:
     from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
     from crawl4ai_spark.sources.synthetic import build_pages, build_robots, build_seeds
 
-    run = CrawlRun(
-        spark,
-        build_pages(spark, args.sf_dir),
-        build_robots(spark),
-        build_seeds(spark, args.seeds),
-        args.workdir,
-        CrawlConfig(
-            mode=args.mode,
-            max_pages=args.max_pages,
-            max_depth=args.max_depth,
-            host_budget=args.host_budget,
-            adaptive_politeness=args.adaptive,
-        ),
-    )
-    for stats in run.run(max_iterations=args.iterations):
-        print(json.dumps({k: v for k, v in stats.items() if k != "profile"}))
+    if args.query:
+        from crawl4ai_spark.plans.adaptive import AdaptiveCrawl, AdaptiveConfig
+
+        ac = AdaptiveCrawl(
+            spark,
+            build_pages(spark, args.sf_dir),
+            build_robots(spark),
+            build_seeds(spark, args.seeds),
+            args.workdir,
+            query=args.query,
+            config=AdaptiveConfig(
+                confidence_threshold=args.confidence,
+                max_pages=args.max_pages,
+                max_depth=args.max_depth,
+                batch_size=args.iteration_budget or 10,
+            ),
+        )
+        out = ac.crawl_until_confident(max_iterations=args.iterations)
+        print(json.dumps({k: v for k, v in out.items() if k != "profile"}))
+        run = ac.run
+    else:
+        run = CrawlRun(
+            spark,
+            build_pages(spark, args.sf_dir),
+            build_robots(spark),
+            build_seeds(spark, args.seeds),
+            args.workdir,
+            CrawlConfig(
+                mode=args.mode,
+                max_pages=args.max_pages,
+                max_depth=args.max_depth,
+                host_budget=args.host_budget,
+                iteration_budget=args.iteration_budget,
+                adaptive_politeness=args.adaptive,
+            ),
+        )
+        for stats in run.run(max_iterations=args.iterations):
+            print(json.dumps({k: v for k, v in stats.items() if k != "profile"}))
     res = run.results()
     summary = {
         "done": True,
