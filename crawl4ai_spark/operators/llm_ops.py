@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 from array import array
+from collections import Counter
 from collections.abc import Callable, Iterator
 from itertools import chain
 
@@ -86,12 +87,10 @@ class DeterministicStubLLM:
     (prompt -> str) to run against an actual model."""
 
     def __call__(self, prompt: str) -> str:
-        body = prompt.split("\n<content>\n", 1)[-1]
-        words = body.split()
-        from collections import Counter
-
         from crawl4ai_spark.html.bm25_filter import STOP_WORDS
 
+        body = prompt.split("\n<content>\n", 1)[-1]
+        words = body.split()
         keywords = [
             w for w, _ in Counter(
                 t for t in (w.lower().strip(".,!?;:") for w in words)

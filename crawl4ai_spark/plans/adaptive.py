@@ -105,7 +105,9 @@ class AdaptiveCrawl:
         """Mean pairwise Jaccard of document term sets (spec :346-373),
         bounded sample; <2 docs → 1.0."""
         cap = self.config.consistency_max_docs
-        docs = kb.limit(cap).select(
+        # deterministic sample: an unordered limit() can pick different rows
+        # per run, which would make the confidence signal itself flaky
+        docs = kb.orderBy("url").limit(cap).select(
             "url", F.array_distinct(adaptive_tokens_col("text")).alias("terms")
         )
         a = docs.alias("a")
