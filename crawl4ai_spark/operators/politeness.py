@@ -37,14 +37,28 @@ def host_budget_rank(
     budget: int | Column = 10,
     salt: int = 16,
     rank_col: str = "host_rank",
+    small_input: bool = False,
 ) -> DataFrame:
     """Adds ``rank_col`` = 1-based politeness rank within host, computed via
     the salted two-pass scheme, and drops rows beyond the budget.
 
     ``budget`` may be an int (uniform) or a Column (per-host, e.g. joined
-    from a host_state table)."""
+    from a host_state table). ``small_input``: the caller KNOWS the input
+    row count is bounded (e.g. from the frontier snapshot manifest) — a
+    single per-host window, no salt pass; output identical, half the
+    shuffles, and even a fully-skewed input fits one task."""
     budget_col = F.lit(budget) if isinstance(budget, int) else budget
     df = df.withColumn("_budget", budget_col)
+
+    if small_input:
+        w = Window.partitionBy(host).orderBy(
+            *[F.col(c).asc() if isinstance(c, str) else c.asc() for c in order_cols]
+        )
+        return (
+            df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= F.col("_budget"))
+            .drop("_budget")
+        )
 
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in order_cols]),

@@ -10,21 +10,92 @@ The reference's orderings:
 - Capacity top-k on discovered links: sort score DESC, take remaining
   capacity (bfs_strategy.py:124-131).
 
-Scale design: every global rank here goes through ``salted_global_topk`` —
-the same two-pass scheme as the politeness windows (operators/politeness.py):
-a distributed per-bucket top-k first, so the single-partition global window
-only ever sees ≤ salt·k survivor rows regardless of input size. The output
-is identical to the naive global window (any global top-k row is also in its
-bucket's top-k). The residual limit is k itself: an exact global top-k with
-k in the many-millions puts salt·k rows through one task — callers bound k
-by the remaining page budget per iteration, which the politeness budgets
-already cap.
+Scale design — three regimes, all output-identical, chosen by what the
+caller knows about (input size, k):
+
+1. ``small_input=True`` (caller KNOWS the input is bounded, e.g. the
+   frontier row count carried in the snapshot manifest): a single global
+   window. One task, but over a bounded set — the cheapest plan, no salt
+   shuffles.
+2. default salted two-pass: per-bucket top-k first (distributed), so the
+   single-partition global window only ever sees ≤ salt·k survivors
+   regardless of input size.
+3. ``k > LARGE_K_ROWS``: even salt·k is too much for one task (the
+   contract runs max_pages=1_000_000 ⇒ millions of rows through pass 2 at
+   100× scale). ``range_rank`` replaces the global window entirely: range-
+   repartition on the order key, cache to pin the partitioning, per-range
+   counts → driver prefix sums (≤ #partitions rows), global rank =
+   partition offset + within-partition row_number. Every stage is
+   distributed; the largest single-task row count is ~k / #partitions.
+
+The order must be a TOTAL order (include a unique tie-break column) — all
+call sites order on a unique url/tiebreak last.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# above this k the salted two-pass's global window (salt·k rows in one
+# task) is itself the bottleneck → switch to the fully-distributed range
+# rank. ~100k rows/task keeps any window task bounded.
+LARGE_K_ROWS = 100_000
+
+
+def range_rank(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    rank_col: str = "_topk_rank",
+    partition_rows: int = LARGE_K_ROWS,
+) -> DataFrame:
+    """Exact global top-k + 1-based rank with NO single-task global window:
+    range-repartition by the (total) order, pin the partitioning with a
+    cache, per-partition counts → driver prefix sums, rank = offset +
+    within-partition row_number. The per-partition window shuffles by
+    partition id but each group is one balanced range — no hot task.
+
+    Caller must unpersist the returned plan's source when done; the
+    intermediate cache is unpersisted here after the ranks are computed
+    (the output no longer depends on partition ids once ranked).
+    """
+    nparts = max(2, min(2048, (k + partition_rows - 1) // partition_rows * 8))
+    # pin the range-partition id as DATA (the cache freezes it) — a window
+    # over the raw spark_partition_id() expression would re-evaluate it
+    # post-shuffle, merging colliding range partitions into one group
+    srt = (
+        df.repartitionByRange(nparts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    if not offsets:
+        srt.unpersist()
+        return df.withColumn(rank_col, F.lit(1).cast("int")).limit(0)
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(p)) for p in offsets]),
+            F.array(*[F.lit(int(o)) for o in offsets.values()]),
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        srt.withColumn("_off", off_expr)
+        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w)).cast("int"))
+        .filter(F.col(rank_col) <= k)
+        .drop("_off", "_pid")
+    )
+    # materialize before dropping the pinned partitioning
+    out = ranked.localCheckpoint(eager=True)
+    srt.unpersist()
+    return out
 
 
 def salted_global_topk(
@@ -34,11 +105,18 @@ def salted_global_topk(
     hash_on: Column | str,
     salt: int = 16,
     rank_col: str = "_topk_rank",
+    small_input: bool = False,
 ) -> DataFrame:
-    """Exact global top-k with a 1-based ``rank_col``, computed as
-    per-bucket top-k (distributed) → global window over ≤ salt·k survivors.
-    Buckets are a deterministic hash of ``hash_on`` (pick a high-cardinality
-    column, e.g. the url), so reruns rank identically."""
+    """Exact global top-k with a 1-based ``rank_col``. Regime choice per the
+    module docstring: known-small input → one window; huge k → range rank;
+    else per-bucket top-k (distributed) → global window over ≤ salt·k
+    survivors. Buckets are a deterministic hash of ``hash_on`` (pick a
+    high-cardinality column, e.g. the url), so reruns rank identically."""
+    if small_input and k <= LARGE_K_ROWS:
+        w = Window.orderBy(*order)
+        return df.withColumn(rank_col, F.row_number().over(w)).filter(
+            F.col(rank_col) <= k
+        )
     hash_col = F.col(hash_on) if isinstance(hash_on, str) else hash_on
     bucket = F.pmod(F.xxhash64(hash_col), F.lit(salt))
     w1 = Window.partitionBy("_sb").orderBy(*order)
@@ -46,12 +124,14 @@ def salted_global_topk(
         df.withColumn("_sb", bucket)
         .withColumn("_sr", F.row_number().over(w1))
         .filter(F.col("_sr") <= k)
+        .drop("_sb", "_sr")
     )
+    if k > LARGE_K_ROWS:
+        return range_rank(pruned, order, k, rank_col=rank_col)
     w2 = Window.orderBy(*order)
     return (
         pruned.withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= k)
-        .drop("_sb", "_sr")
     )
 
 
@@ -62,12 +142,15 @@ def priority_rank(
     rank_col: str = "visit_rank",
     tiebreak: str = "warc_ts",
     salt: int = 16,
+    small_input: bool = False,
 ) -> DataFrame:
     """Global visit rank. BFS: (depth, score, warc_ts) ASC; best-first:
     (score, depth, warc_ts) ASC (min-score-first). ``budget`` caps rows —
     and routes through the salted two-pass top-k so the global window never
-    sees the full input. An unbudgeted call is a plain global window: only
-    for bounded inputs (tests, final exports)."""
+    sees the full input. ``small_input``: the caller KNOWS the input is
+    bounded (e.g. frontier row count from the snapshot manifest) — plain
+    single-window plan, no salt shuffles. An unbudgeted call is a plain
+    global window: only for bounded inputs (tests, final exports)."""
     if mode == "bfs":
         order = [F.col("depth").asc(), F.col("score").asc(), F.col(tiebreak).asc()]
     elif mode == "best_first":
@@ -80,17 +163,23 @@ def priority_rank(
         raise ValueError(f"unknown mode: {mode}")
     if budget is not None:
         return salted_global_topk(
-            df, order, budget, hash_on=tiebreak, salt=salt, rank_col=rank_col
+            df, order, budget, hash_on=tiebreak, salt=salt, rank_col=rank_col,
+            small_input=small_input,
         )
     return df.withColumn(rank_col, F.row_number().over(Window.orderBy(*order)))
 
 
 def capacity_topk(
-    df: DataFrame, capacity: int, score_col: str = "score", salt: int = 16
+    df: DataFrame,
+    capacity: int,
+    score_col: str = "score",
+    salt: int = 16,
+    small_input: bool = False,
 ) -> DataFrame:
     """Keep the top-``capacity`` rows by score DESC (O4), deterministic
-    tie-break on url — salted two-pass, safe on unbounded discovery sets."""
+    tie-break on url — salted two-pass (or range rank above LARGE_K_ROWS),
+    safe on unbounded discovery sets."""
     order = [F.col(score_col).desc(), F.col("url").asc()]
-    return salted_global_topk(df, order, capacity, hash_on="url", salt=salt).drop(
-        "_topk_rank"
-    )
+    return salted_global_topk(
+        df, order, capacity, hash_on="url", salt=salt, small_input=small_input
+    ).drop("_topk_rank")

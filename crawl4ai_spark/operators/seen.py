@@ -106,14 +106,19 @@ def dedup_against_seen(
     seen: DataFrame | None,
     key: str = "url_norm",
     bloom: BloomFilterSet | None = None,
+    seen_unique: bool = False,
 ) -> DataFrame:
     """Exact dedup: candidates not present in ``seen``. With a bloom, rows
     the bloom calls definitely-new bypass the anti-join shuffle; only
     bloom-positive rows are joined (false positives are then cleared by the
-    exact join)."""
+    exact join). ``seen_unique``: the caller guarantees ``seen[key]`` is
+    already distinct (true for the crawl's seen table — only anti-joined
+    rows are ever appended), skipping a whole dedup shuffle; an anti-join's
+    result is unaffected by duplicate build-side keys, so this is purely a
+    plan optimization."""
     if seen is None:
         return candidates
-    seen_keys = seen.select(key).distinct()
+    seen_keys = seen.select(key) if seen_unique else seen.select(key).distinct()
     if bloom is None:
         return candidates.join(seen_keys, on=key, how="left_anti")
     spark = candidates.sparkSession

@@ -4,8 +4,12 @@ Spark jobs over snapshot tables (SURVEY.md §7 M2; behavioral spec:
 link_discovery :68-140; bff_strategy.py:129-213 best-first).
 
 One iteration =
-  1. rank the frontier        — per-host politeness budget (salted window)
-                                then global priority rank (depth,score,ts)
+  1. rank the frontier        — per-host politeness budget then global
+                                priority rank (depth,score,ts); salted
+                                two-pass windows above salt_bypass_rows,
+                                plain windows below (the frontier row count
+                                is carried in the snapshot manifest, so the
+                                choice costs no job)
   2. robots gate              — broadcast join + can_fetch UDF, fail-open;
                                 blocked rows become 403 results, never retried
   3. fetch                    — LEFT JOIN against the pages table (the web
@@ -16,10 +20,21 @@ One iteration =
   6. dedup                    — bloom pre-filter + exact anti-join vs seen
                                 (seen = ENQUEUED set, as in the reference:
                                 visited.add happens at enqueue, not fetch)
-  7. commit                   — results/seen/lineage appends + frontier
-                                replace, each an atomic snapshot; the
+  7. commit                   — results/seen appends + frontier replace
+                                submitted CONCURRENTLY (separate tables,
+                                separate manifests — wall time ≈ the
+                                slowest write, not the sum); the lineage
+                                rows were already collected alongside the
+                                counters, so they commit as a driver-side
+                                pyarrow write with NO Spark job. The
                                 iteration number in the manifest is the
                                 resume point.
+
+Job budget per iteration: ONE fetch+extract job (which also materializes
+the ranked slice — the rank needs no count job of its own because the
+frontier row count rides in the snapshot manifest and upper-bounds every
+sizing decision), ONE discover+dedup job, plus the 3 concurrent snapshot
+writes; a capacity re-rank adds one job only in the over-budget case.
 
 Determinism: every ordering is a rank over (depth, score, warc_ts) /
 (score, depth, warc_ts) per the north rule; duplicate discoveries collapse
@@ -39,7 +54,10 @@ from __future__ import annotations
 import os
 import time
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +92,10 @@ class CrawlConfig:
     # below this seen-set size the bloom pre-filter costs more than the
     # anti-join it short-circuits; at 10^10 URLs it is always on
     bloom_min_seen: int = 200_000
+    # below this frontier size the salted two-pass windows cost more in
+    # extra shuffle rounds than the skew they prevent — use plain windows
+    # (the frontier count is known from the manifest, so this is free)
+    salt_bypass_rows: int = 100_000
     # extra filter Columns applied to discovered candidate urls
     filter_conditions: list = field(default_factory=list)
     # scorer: callable(url Column) -> score Column; default 0.0 (BFS order)
@@ -141,14 +163,21 @@ class CrawlRun:
         )
         seeds = seeds.dropDuplicates(["url_norm"]).coalesce(1).cache()
         n_seeds = seeds.count()
-        self.t_frontier.replace(
-            seeds,
-            {"iteration": 0, "pages_crawled": 0, "n_frontier": n_seeds, "n_seen": n_seeds},
-        )
-        self.t_seen.replace(
-            seeds.select("url_norm", F.xxhash64("url_norm").alias("url_hash"),
-                         "depth", F.lit(0).alias("first_iter"))
-        )
+        # two independent tables — commit concurrently off the shared cache
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(
+                self.t_frontier.replace,
+                seeds,
+                {"iteration": 0, "pages_crawled": 0, "n_frontier": n_seeds,
+                 "n_seen": n_seeds},
+            )
+            f2 = pool.submit(
+                self.t_seen.replace,
+                seeds.select("url_norm", F.xxhash64("url_norm").alias("url_hash"),
+                             "depth", F.lit(0).alias("first_iter")),
+            )
+            f1.result()
+            f2.result()
         seeds.unpersist()
 
     # -- one iteration ---------------------------------------------------------
@@ -200,10 +229,17 @@ class CrawlRun:
             else ["sort_depth", "score", "warc_ts_hint"]
         )
 
-        # 1. politeness budget per host (salted two-pass window), then
-        #    global rank + iteration budget. With adaptive_politeness the
-        #    budget is per-host: floor(iteration_window / current_delay)
-        #    from the host_state table (P1+P2), else a uniform constant.
+        # 1. politeness budget per host, then global rank + iteration
+        #    budget. The frontier row count from the manifest picks the
+        #    window regime (plain below salt_bypass_rows, salted two-pass
+        #    above) and upper-bounds every sizing decision below — so the
+        #    ranked slice needs NO count job of its own; it materializes
+        #    inside the fetch+extract job and the exact selected count
+        #    falls out of that job's counters (n_results). With
+        #    adaptive_politeness the budget is per-host:
+        #    floor(iteration_window / current_delay) from the host_state
+        #    table (P1+P2), else a uniform constant.
+        small = n_frontier <= cfg.salt_bypass_rows
         hs_df = self.t_host_state.read(self.spark) if cfg.adaptive_politeness else None
         if cfg.adaptive_politeness:
             if hs_df is not None:
@@ -220,32 +256,29 @@ class CrawlRun:
                 F.floor(F.lit(cfg.iteration_window) / delay),
             )
             budgeted = host_budget_rank(
-                aug, order_cols, host="host", budget=budget_col, salt=cfg.salt
+                aug, order_cols, host="host", budget=budget_col, salt=cfg.salt,
+                small_input=small,
             ).drop("current_delay")
         else:
             budgeted = host_budget_rank(
-                frontier, order_cols, host="host", budget=cfg.host_budget, salt=cfg.salt
+                frontier, order_cols, host="host", budget=cfg.host_budget,
+                salt=cfg.salt, small_input=small,
             )
         global_budget = min(remaining, cfg.iteration_budget or remaining)
         selected = priority_rank(
-            budgeted, mode=cfg.mode, budget=global_budget, tiebreak="warc_ts_hint"
+            budgeted, mode=cfg.mode, budget=global_budget, tiebreak="warc_ts_hint",
+            small_input=small,
         )
         selected = selected.drop("warc_ts_hint", "sort_depth").cache()
-        n_selected = selected.count()
-        t = _lap("rank", t)
-        if n_selected == 0:
-            return {"done": True, "reason": "budget_zero"}
+        # upper bound on the slice size — exact count comes back with the
+        # fetch counters
+        ub_selected = min(n_frontier, global_budget)
         # partitions for the Python-UDF stages: track the slice size, not
-        # spark.sql.shuffle.partitions — every partition costs a Python
-        # worker spawn, and a page costs ~10-30 ms of Python, so target
-        # ~64 pages/partition up to 4 waves per core
+        # spark.sql.shuffle.partitions — a page costs ~10-30 ms of Python
+        # and workers are reused after first spawn, so ~16 pages/partition
+        # keeps the extract stage wide without per-task overhead dominating
         par = self.spark.sparkContext.defaultParallelism
-        nparts = max(1, min(par * 4, (n_selected + 63) // 64))
-
-        # deferred rows stay in the frontier for the next iteration
-        deferred = frontier.join(
-            selected.select("url_norm"), "url_norm", "left_anti"
-        ).drop("warc_ts_hint", "sort_depth")
+        nparts = max(1, min(par * 4, (ub_selected + 15) // 16))
 
         # 2. robots gate (fail-open; blocked → 403 results, not retried)
         if cfg.check_robots and self.robots is not None:
@@ -261,15 +294,22 @@ class CrawlRun:
         #    pages table never broadcasts and the whole corpus would
         #    shuffle. Instead: semi-join the corpus down to the slice's
         #    rows (broadcasting only the narrow url list, and only while
-        #    the slice is small — n_selected is already counted), then a
+        #    the slice is provably small — the manifest row count and the
+        #    iteration budget upper-bound it without a count job), then a
         #    small⟕small left join recovers the misses as NULL page rows.
         #    One pages-scan node in the plan; above the broadcast threshold
         #    both joins degrade to shuffles and AQE picks the strategy.
         probe = allowed.select("url")
-        if n_selected <= cfg.broadcast_frontier_max:
+        if ub_selected <= cfg.broadcast_frontier_max:
             probe = F.broadcast(probe)
         relevant = self.pages.join(probe, on="url", how="left_semi")
-        fetched = allowed.join(relevant, on="url", how="left").repartition(nparts)
+        fetched = allowed.join(relevant, on="url", how="left")
+        # the broadcast-join output keeps the pages table's partitioning, so
+        # the extract UDF is already wide; an explicit repartition (a full
+        # extra exchange stage) only pays for itself when the slice is big
+        # enough that per-page Python time dominates stage overhead
+        if ub_selected > 4 * 16 * par:
+            fetched = fetched.repartition(nparts)
         fetched = fetched.withColumn(
             "status_code", F.when(F.col("html").isNotNull(), 200).otherwise(404)
         )
@@ -330,7 +370,15 @@ class CrawlRun:
         n_results = sum(r["urls_in"] for r in fetch_parts)
         n_fetched = sum(r["fetched"] or 0 for r in fetch_parts)
         n_blocked = sum(r["robots_blocked"] or 0 for r in fetch_parts)
+        n_selected = n_results  # every selected row becomes a result row
         t = _lap("fetch_extract", t)
+        if n_selected == 0:
+            # defensive: a ≥1-per-host budget on a non-empty frontier always
+            # selects rows, so this only fires on a degenerate config;
+            # nothing was committed, so the snapshot state is untouched
+            for df in (selected, gated, results):
+                df.unpersist()
+            return {"done": True, "reason": "budget_zero"}
 
         # P2: evolve per-host delays from this iteration's statuses
         # (MERGE-shaped: existing state ∪ first-seen hosts at base delay)
@@ -402,7 +450,9 @@ class CrawlRun:
         bloom = None
         if seen_df is not None and st["n_seen"] >= cfg.bloom_min_seen:
             bloom = build_bloom(seen_df, num_bits=cfg.bloom_bits)
-        new_urls = dedup_against_seen(candidates, seen_df, bloom=bloom)
+        new_urls = dedup_against_seen(
+            candidates, seen_df, bloom=bloom, seen_unique=True
+        )
 
         # capacity top-k: if more new URLs than remaining page budget, keep
         # best by score DESC (O4 semantics), deterministic url tie-break.
@@ -430,7 +480,8 @@ class CrawlRun:
             disc_parts = []
         elif n_candidates > remaining_after:
             new_urls = capacity_topk(
-                candidates, remaining_after, salt=cfg.salt
+                candidates, remaining_after, salt=cfg.salt,
+                small_input=n_candidates <= cfg.salt_bypass_rows,
             ).cache()
             n_new = remaining_after  # row_number ≤ k keeps exactly k rows
             disc_parts = new_urls.groupBy(
@@ -446,7 +497,8 @@ class CrawlRun:
         # as balanced partition row counts here), 'discover' rows carry
         # per-partition emitted counts of the dedup output. Both were
         # already collected alongside the counters (≤ #partitions rows),
-        # so the lineage table is a driver-side literal — no extra jobs.
+        # so the lineage commit is a driver-side pyarrow parquet write —
+        # zero Spark jobs.
         t_now = time.time()
         lineage_rows = [
             (iteration, "fetch", r["partition_id"], r["urls_in"],
@@ -456,19 +508,20 @@ class CrawlRun:
             (iteration, "discover", r["partition_id"], 0, 0, 0, r["emitted"])
             for r in disc_parts
         ]
-        # JVM-side VALUES relation — createDataFrame from Python rows would
-        # put a Python runner in the write plan and pay a full worker spawn
-        values = ", ".join(
-            f"(CAST({it} AS INT), '{stage}', CAST({pid} AS INT), "
-            f"CAST({u} AS BIGINT), CAST({fe} AS BIGINT), CAST({rb} AS BIGINT), "
-            f"CAST({em} AS BIGINT), CAST({t0!r} AS DOUBLE), CAST({t_now!r} AS DOUBLE))"
-            for it, stage, pid, u, fe, rb, em in lineage_rows
+        lineage_tbl = pa.table(
+            {
+                "iteration": pa.array([r[0] for r in lineage_rows], pa.int32()),
+                "stage": pa.array([r[1] for r in lineage_rows], pa.string()),
+                "partition_id": pa.array([r[2] for r in lineage_rows], pa.int32()),
+                "urls_in": pa.array([r[3] for r in lineage_rows], pa.int64()),
+                "fetched": pa.array([r[4] for r in lineage_rows], pa.int64()),
+                "robots_blocked": pa.array([r[5] for r in lineage_rows], pa.int64()),
+                "emitted": pa.array([r[6] for r in lineage_rows], pa.int64()),
+                "t_start": pa.array([t0] * len(lineage_rows), pa.float64()),
+                "t_end": pa.array([t_now] * len(lineage_rows), pa.float64()),
+            }
         )
-        lineage = self.spark.sql(
-            f"SELECT * FROM VALUES {values} AS t(iteration, stage, "
-            "partition_id, urls_in, fetched, robots_blocked, emitted, "
-            "t_start, t_end)"
-        )
+        self.t_lineage.append_rows(lineage_tbl, {"iteration": iteration})
 
         # coalesce small snapshot appends: a snapshot read at iteration k
         # unions k data dirs, so file count per dir must track data size,
@@ -478,30 +531,55 @@ class CrawlRun:
             return max(1, min(32, n // 50_000 + 1))
 
         n_deferred = n_frontier - n_selected
-        self.t_results.append(results.coalesce(_parts(n_results)), {"iteration": iteration})
-        t = _lap("write_results", t)
-        self.t_seen.append(
-            new_urls.select(
-                "url_norm",
-                F.xxhash64("url_norm").alias("url_hash"),
-                "depth",
-                F.lit(iteration + 1).alias("first_iter"),
-            ).coalesce(_parts(n_new))
+        if n_deferred == 0:
+            # the whole frontier was selected (the common steady state under
+            # a generous budget) — nothing is deferred, so the next frontier
+            # is exactly the fresh discoveries: skip the anti-join entirely
+            next_frontier = new_urls
+        else:
+            sel_keys = selected.select("url_norm")
+            if n_selected <= cfg.broadcast_frontier_max:
+                sel_keys = F.broadcast(sel_keys)
+            deferred = frontier.join(sel_keys, "url_norm", "left_anti").drop(
+                "warc_ts_hint", "sort_depth"
+            )
+            next_frontier = deferred.unionByName(new_urls)
+
+        seen_append = new_urls.select(
+            "url_norm",
+            F.xxhash64("url_norm").alias("url_hash"),
+            "depth",
+            F.lit(iteration + 1).alias("first_iter"),
         )
-        t = _lap("write_seen", t)
-        next_frontier = deferred.unionByName(new_urls)
-        self.t_frontier.replace(
-            next_frontier.coalesce(_parts(n_deferred + n_new)),
-            {
-                "iteration": iteration + 1,
-                "pages_crawled": pages_crawled + n_results,
-                "n_frontier": n_deferred + n_new,
-                "n_seen": st["n_seen"] + n_new,
-            },
-        )
-        t = _lap("write_frontier", t)
-        self.t_lineage.append(lineage.coalesce(1), {"iteration": iteration})
-        t = _lap("write_lineage", t)
+        # the three Spark writes touch three independent tables (separate
+        # manifests) and read only materialized caches — submit them
+        # concurrently so the commit wall time is the slowest write, not
+        # the sum. (On a cluster these are three Iceberg commits — equally
+        # independent.)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    self.t_results.append,
+                    results.coalesce(_parts(n_results)),
+                    {"iteration": iteration},
+                ),
+                pool.submit(
+                    self.t_seen.append, seen_append.coalesce(_parts(n_new))
+                ),
+                pool.submit(
+                    self.t_frontier.replace,
+                    next_frontier.coalesce(_parts(n_deferred + n_new)),
+                    {
+                        "iteration": iteration + 1,
+                        "pages_crawled": pages_crawled + n_results,
+                        "n_frontier": n_deferred + n_new,
+                        "n_seen": st["n_seen"] + n_new,
+                    },
+                ),
+            ]
+            for f in futs:
+                f.result()
+        t = _lap("commit", t)
 
         for df in (selected, gated, results, candidates, new_urls):
             df.unpersist()

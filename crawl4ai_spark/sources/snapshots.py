@@ -81,6 +81,25 @@ class SnapshotTable:
     def replace(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(self._read_manifest(), [self._write_data(df)], meta)
 
+    def append_rows(self, table, meta: dict | None = None) -> int:
+        """Append driver-resident rows (a ``pyarrow.Table``) WITHOUT a Spark
+        job — for tiny metadata tables whose rows were already collected on
+        the driver (e.g. per-partition lineage: ≤ #partitions rows per
+        iteration). A Spark write here would cost a full job round-trip for
+        a handful of rows; pyarrow writes the same footer-compatible parquet
+        that ``spark.read.parquet`` unions with Spark-written dirs."""
+        import pyarrow.parquet as pq
+
+        name = "data-" + uuid.uuid4().hex
+        path = os.path.join(self.root, name)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        m = self._read_manifest()
+        dirs = []
+        if m["current"] is not None:
+            dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
+        return self._commit(m, list(dirs) + [name], meta)
+
     def _commit(self, manifest: dict, dirs: list[str], meta: dict | None) -> int:
         sid = (manifest["current"] or 0) + 1
         manifest["snapshots"].append({"id": sid, "dirs": dirs, "meta": meta or {}})
