@@ -73,6 +73,66 @@ def test_capacity_topk_is_salted_two_pass(spark, pages):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_large_k_topk_uses_range_rank_not_global_window(spark, monkeypatch):
+    """Above LARGE_K_ROWS the salted two-pass's own global window (salt·k
+    rows in ONE task) becomes the bottleneck — the contract runs
+    max_pages=1_000_000, so capacity-k in the millions must route through
+    the fully-distributed range rank and still be exact."""
+    import crawl4ai_spark.operators.ranking as rk
+
+    monkeypatch.setattr(rk, "LARGE_K_ROWS", 500)
+    df = spark.range(20_000).select(
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("url"),
+        (F.pmod(F.col("id") * 37, F.lit(1000))).cast("double").alias("score"),
+    )
+    out = rk.capacity_topk(df, 2_000)
+    naive = df.orderBy(F.col("score").desc(), F.col("url").asc()).limit(2_000)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_range_rank_exact_global_rank(spark):
+    from crawl4ai_spark.operators.ranking import range_rank
+
+    df = spark.range(5_000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.pmod(F.col("id") * 13, F.lit(97)).cast("double").alias("score"),
+    )
+    order = [F.col("score").asc(), F.col("url").asc()]
+    got = range_rank(df, order, k=1_000, partition_rows=200)
+    from pyspark.sql import Window
+
+    want = (
+        df.withColumn("_topk_rank", F.row_number().over(Window.orderBy(*order)))
+        .filter(F.col("_topk_rank") <= 1_000)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_contract_scale_crawl_budget_routes_off_single_task(spark, monkeypatch):
+    """The contract's max_pages=1_000_000 priority rank must not build a
+    plan whose pass-2 window is a single unpartitioned task."""
+    import crawl4ai_spark.operators.ranking as rk
+
+    called = {}
+    real = rk.range_rank
+
+    def spy(df, order, k, **kw):
+        called["k"] = k
+        return real(df, order, k, **kw)
+
+    monkeypatch.setattr(rk, "range_rank", spy)
+    df = spark.range(2_000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("warc_ts_hint"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).alias("depth"),
+    )
+    out = rk.priority_rank(
+        df, mode="bfs", budget=1_000_000, tiebreak="warc_ts_hint"
+    )
+    assert out.count() == 2_000
+    assert called.get("k") == 1_000_000
+
+
 def test_priority_rank_salted_matches_naive(spark, pages):
     from pyspark.sql import Window
 
