@@ -137,3 +137,29 @@ def composite_score(scores: list[Column], normalize: bool = True) -> Column:
     if normalize:
         return total / F.lit(float(len(scores)))
     return total
+
+
+def scoring_stats(df, score_col: str = "score"):
+    """A2 — ScoringStats (behavioral spec: deep_crawling/scorers.py:26-62:
+    urls_scored / total_score / min / max / average, updated per scored
+    URL) as ONE distributed aggregate over the score column. The running
+    total is accumulated in micro-units (round(score·1e6) as bigint) so the
+    sum is exact and associative — a float running sum would depend on
+    partition order at scale. ``average`` follows get_average (:49-51):
+    0.0 when nothing was scored."""
+    from pyspark.sql import DataFrame  # noqa: F401  (documented return type)
+
+    micros = F.round(F.col(score_col) * 1e6).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("urls_scored"),
+        F.coalesce(F.sum(micros), F.lit(0)).cast("long").alias("total_micro"),
+        F.round(F.coalesce(F.min(score_col), F.lit(0.0)), 6).alias("min_score"),
+        F.round(F.coalesce(F.max(score_col), F.lit(0.0)), 6).alias("max_score"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.coalesce(F.sum(micros), F.lit(0)) / 1e6 / F.count(F.lit(1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_score"),
+    )
