@@ -63,11 +63,27 @@ def coverage_score(per_term: DataFrame) -> float:
     return float(min(1.0, avg ** 0.5))
 
 
-def saturation_score(new_terms_history: list[int]) -> float:
+def saturation_score(
+    new_terms_history: list[int], pages_history: list[int] | None = None
+) -> float:
     """1 − recent_rate/initial_rate over the per-iteration new-term counts
-    (spec :375-390); <2 entries → 0."""
+    (spec :375-390); <2 entries → 0.
+
+    ``pages_history``: pages fetched per iteration. The reference appends
+    one history entry per crawled DOCUMENT; the Spark loop appends one per
+    BATCH iteration, so without normalization the decay signal scales with
+    batch size. When given, counts are normalized to new-terms-per-page
+    (zero entries floor at 1 term/batch, the count-space floor the
+    reference uses) — a documented Spark-shape adaptation that makes the
+    signal batch-size-invariant."""
     if len(new_terms_history) < 2:
         return 0.0
-    recent = new_terms_history[-1] if new_terms_history[-1] > 0 else 1
-    initial = new_terms_history[0] if new_terms_history[0] > 0 else 1
+    if pages_history:
+        recent_pages = max(1, pages_history[-1])
+        initial_pages = max(1, pages_history[0])
+        recent = max(new_terms_history[-1], 1) / recent_pages
+        initial = max(new_terms_history[0], 1) / initial_pages
+    else:
+        recent = new_terms_history[-1] if new_terms_history[-1] > 0 else 1
+        initial = new_terms_history[0] if new_terms_history[0] > 0 else 1
     return max(0.0, min(1.0 - recent / initial, 1.0))

@@ -209,14 +209,16 @@ def bm25_okapi_scores(
 # ---------------------------------------------------------------- filter
 
 
-def bm25_score_all_chunks(
+def _scored_chunks(
     html: str,
-    user_query: str | None = None,
-    use_stemming: bool = True,
-    min_word_threshold: int | None = None,
-) -> list[tuple[int, str, str, float]]:
-    """All chunks with their tag-weight-adjusted BM25 scores, document
-    order: [(chunk_index, text, tag, adjusted_score)]."""
+    user_query: str | None,
+    use_stemming: bool,
+    min_word_threshold: int | None,
+) -> list[tuple[int, str, "object", float]]:
+    """ONE parse + chunk + tokenize + score pass shared by every public
+    surface: [(chunk_index, text, element_node, adjusted_score)] in
+    document order. (The previous shape re-ran the whole parse/chunk
+    pipeline per surface, so the fit-markdown path paid it twice.)"""
     if not html or not isinstance(html, str):
         return []
     root = parse_html(html)
@@ -239,8 +241,24 @@ def bm25_score_all_chunks(
     q_tokens = clean_tokens(q_tokens)
     scores = bm25_okapi_scores(corpus, q_tokens)
     return [
-        (index, chunk, tag.tag, score * PRIORITY_TAGS.get(tag.tag, 1.0))
+        (index, chunk, tag, score * PRIORITY_TAGS.get(tag.tag, 1.0))
         for score, (index, chunk, _kind, tag) in zip(scores, candidates)
+    ]
+
+
+def bm25_score_all_chunks(
+    html: str,
+    user_query: str | None = None,
+    use_stemming: bool = True,
+    min_word_threshold: int | None = None,
+) -> list[tuple[int, str, str, float]]:
+    """All chunks with their tag-weight-adjusted BM25 scores, document
+    order: [(chunk_index, text, tag, adjusted_score)]."""
+    return [
+        (i, chunk, tag.tag, s)
+        for i, chunk, tag, s in _scored_chunks(
+            html, user_query, use_stemming, min_word_threshold
+        )
     ]
 
 
@@ -253,8 +271,13 @@ def bm25_filter_chunks(
 ) -> list[tuple[int, str, str, float]]:
     """Scored pipeline surface: [(chunk_index, text, tag, adjusted_score)]
     for chunks at/above threshold, in original document order."""
-    scored = bm25_score_all_chunks(html, user_query, use_stemming, min_word_threshold)
-    return [c for c in scored if c[3] >= bm25_threshold]
+    return [
+        (i, chunk, tag.tag, s)
+        for i, chunk, tag, s in _scored_chunks(
+            html, user_query, use_stemming, min_word_threshold
+        )
+        if s >= bm25_threshold
+    ]
 
 
 def bm25_filter_content(
@@ -266,18 +289,10 @@ def bm25_filter_content(
 ) -> list[str]:
     """The reference surface: cleaned HTML of the selected chunks' elements
     in document order (feeds fit_markdown)."""
-    if not html or not isinstance(html, str):
-        return []
-    root = parse_html(html)
-    body = root.find("body") or root
-    query = extract_page_query(root, body, user_query)
-    if not query:
-        return []
-    candidates = extract_text_chunks(body, min_word_threshold)
-    if not candidates:
-        return []
-    selected = bm25_filter_chunks(
-        html, user_query, bm25_threshold, use_stemming, min_word_threshold
-    )
-    by_index = {c[0]: c[3] for c in candidates}
-    return [clean_element(by_index[i]) for i, _, _, _ in selected]
+    return [
+        clean_element(tag)
+        for _i, _chunk, tag, s in _scored_chunks(
+            html, user_query, use_stemming, min_word_threshold
+        )
+        if s >= bm25_threshold
+    ]

@@ -27,8 +27,9 @@ from __future__ import annotations
 
 import math
 import re
+from html import escape
 
-from crawl4ai_spark.html.parser import Node, parse_html
+from crawl4ai_spark.html.parser import VOID_TAGS, Node, parse_html
 
 EXCLUDED_TAGS = (
     "nav", "footer", "header", "aside", "script", "style", "form",
@@ -141,26 +142,134 @@ def _dynamic_threshold(node: Node, base: float) -> float:
     return threshold
 
 
+def _annotate(root: Node) -> dict[int, tuple[int, int, int]]:
+    """ONE post-order pass computing, per node id: (text_len, n_spaces,
+    ser_children_len) — the scoring inputs that the naive restatement (and
+    the reference, via get_text/encode_contents per node,
+    content_filter_strategy.py:685-687) recomputes at EVERY tree level,
+    making the prune O(n·depth) in string bytes. The quantities compose
+    bottom-up exactly:
+
+    - text_len / n_spaces: over per-run STRIPPED text joined without
+      separators (bs4 get_text(strip=True) length semantics) — sums of the
+      per-run values, since no separators are added;
+    - ser_children_len: len(node.serialize_children()) — child full
+      serializations concatenate, and a child's full length is its
+      children's total plus its own tag/attr overhead.
+
+    Valid for top-down pruning: a node is judged BEFORE any of its own
+    subtree is detached, and sibling removals never touch a disjoint
+    subtree, so the original-tree annotations are exactly what the naive
+    recomputation would see."""
+    memo: dict[int, tuple[int, int, int]] = {}
+    full: dict[int, int] = {}
+
+    def walk(n: Node) -> None:
+        if n.is_text:
+            t = n.attrs["text"]
+            s = t.strip()
+            memo[id(n)] = (len(s), s.count(" "), 0)
+            full[id(n)] = len(escape(t, quote=False))
+            return
+        text_len = n_spaces = ser_children = 0
+        for c in n.children:
+            walk(c)
+            a, b, _ = memo[id(c)]
+            text_len += a
+            n_spaces += b
+            ser_children += full[id(c)]
+        memo[id(n)] = (text_len, n_spaces, ser_children)
+        if n.tag == "#root":
+            full[id(n)] = ser_children
+        else:
+            attr_len = sum(
+                1 + len(k) if v is None else len(k) + len(escape(str(v))) + 4
+                for k, v in n.attrs.items()
+            )
+            if n.tag in VOID_TAGS:
+                full[id(n)] = len(n.tag) + attr_len + 2
+            else:
+                full[id(n)] = ser_children + 2 * len(n.tag) + attr_len + 5
+
+    walk(root)
+    return memo
+
+
+def _link_text_len(node: Node) -> int:
+    total = 0
+    for c in node.children:
+        if not c.is_text and c.tag == "a":
+            s = _single_string(c)
+            if s:
+                total += len(s.strip())
+    return total
+
+
+def _score_annotated(
+    node: Node, memo: dict, min_word_threshold: int | None
+) -> float:
+    """node_score over precomputed (text_len, n_spaces, tag_len) — same
+    formula, O(1) per node instead of re-serializing the subtree."""
+    text_len, n_spaces, tag_len = memo[id(node)]
+    if min_word_threshold:
+        if n_spaces + 1 < min_word_threshold:
+            return -1.0
+    link_text_len = _link_text_len(node)
+
+    score = 0.0
+    density = text_len / tag_len if tag_len > 0 else 0
+    score += METRIC_WEIGHTS["text_density"] * density
+    link_density = 1 - (link_text_len / text_len if text_len > 0 else 0)
+    score += METRIC_WEIGHTS["link_density"] * link_density
+    score += METRIC_WEIGHTS["tag_weight"] * TAG_WEIGHTS.get(node.tag, 0.5)
+    class_score = 0.0
+    if node.attrs.get("class"):
+        if _NEGATIVE.match(node.attrs["class"]):
+            class_score -= 0.5
+    if node.attrs.get("id"):
+        if _NEGATIVE.match(node.attrs["id"]):
+            class_score -= 0.5
+    score += METRIC_WEIGHTS["class_id_weight"] * max(0, class_score)
+    score += METRIC_WEIGHTS["text_length"] * math.log(text_len + 1)
+    return score
+
+
+def _dynamic_threshold_annotated(node: Node, memo: dict, base: float) -> float:
+    text_len, _, tag_len = memo[id(node)]
+    link_text_len = _link_text_len(node)
+    threshold = base
+    if TAG_IMPORTANCE.get(node.tag, 0.7) > 1:
+        threshold *= 0.8
+    if (text_len / tag_len if tag_len > 0 else 0) > 0.4:
+        threshold *= 0.9
+    if (link_text_len / text_len if text_len > 0 else 1) > 0.6:
+        threshold *= 1.2
+    return threshold
+
+
 def _prune_tree(
     node: Node,
     threshold: float,
     threshold_type: str,
     min_word_threshold: int | None,
+    memo: dict | None = None,
 ) -> None:
     """Top-down: judge the node; removal drops the subtree, survival
     recurses into the element children (spec :677-727)."""
-    score = node_score(node, min_word_threshold)
+    if memo is None:
+        memo = _annotate(node)
+    score = _score_annotated(node, memo, min_word_threshold)
     limit = (
         threshold
         if threshold_type == "fixed"
-        else _dynamic_threshold(node, threshold)
+        else _dynamic_threshold_annotated(node, memo, threshold)
     )
     if score < limit:
         node.detach()
         node.children = []  # bs4 decompose(): the subtree is gone even if
         return              # the caller still holds the node
     for child in [c for c in node.children if not c.is_text]:
-        _prune_tree(child, threshold, threshold_type, min_word_threshold)
+        _prune_tree(child, threshold, threshold_type, min_word_threshold, memo)
 
 
 def prune_content_blocks(

@@ -271,9 +271,20 @@ def _walk_element(el: Node, st: _ScrapeState) -> bool:
 
     if el.tag == "a" and el.attrs.get("href"):
         href = (el.attrs.get("href") or "").strip()
+        # Reference QUIRK preserved (content_scraping_strategy.py:638-648):
+        # a blank or unnormalizable href early-returns False WITHOUT
+        # decompose — the anchor is reported "not kept" to its parent yet
+        # stays in cleaned_html, and its subtree is never walked (descendant
+        # links/images uncollected, attributes unpruned). The reference does
+        # exactly this (its decompose tail at :827-832 is skipped by the
+        # early return), so "fixing" it would break parity.
         if not href:
             return False
-        norm = normalize_url(href, st.url)
+        try:
+            norm = normalize_url(href, st.url)
+        except ValueError:
+            # reference :644-648 catches invalid URL formats the same way
+            return False
         if not norm:
             return False
         link_text = el.text().strip()

@@ -213,10 +213,37 @@ def content_relevance_score_col(
     weighted document = title·3 ⊕ description·2 ⊕ keywords ⊕ all meta
     values (string REPETITION, so copy boundaries merge tokens — quirk
     preserved), simplified idf = ln(2/(tf+0.5)+1), fixed avgdl."""
-    title = F.regexp_extract(head, "<title>([^<]*)</title>", 1)
-    desc = F.regexp_extract(head, 'name="description" content="([^"]*)"', 1)
-    kw = F.regexp_extract(head, 'name="keywords" content="([^"]*)"', 1)
-    meta_values = F.concat_ws(" ", desc, kw)  # document order in the head
+    # HeadPeekr field extraction (utils.py:2840-2861): title via
+    # case-insensitive DOTALL regex; meta tags are <meta ...> blobs whose
+    # key is name= else property= and whose value is content= — any
+    # attribute order, either quote style. Tags missing content or a key
+    # are dropped.
+    title = F.regexp_extract(head, "(?is)<title>(.*?)</title>", 1)
+    metas = F.filter(
+        F.regexp_extract_all(head, F.lit(r"<meta[^>]+>"), 0),
+        lambda t: t.rlike("content=[\"']")
+        & (t.rlike("name=[\"']") | t.rlike("property=[\"']")),
+    )
+    _name = lambda t: F.regexp_extract(t, "name=[\"'](.*?)[\"']", 1)  # noqa: E731
+    _prop = lambda t: F.regexp_extract(t, "property=[\"'](.*?)[\"']", 1)  # noqa: E731
+    _content = lambda t: F.regexp_extract(t, "content=[\"'](.*?)[\"']", 1)  # noqa: E731
+    _key = lambda t: F.when(_name(t) != "", _name(t)).otherwise(_prop(t))  # noqa: E731
+
+    def _meta_get(name: str) -> Column:
+        """meta dict .get(name, '') — last tag with that key wins, like the
+        reference's dict insertion."""
+        hits = F.filter(metas, lambda t: _key(t) == name)
+        return F.when(
+            F.size(hits) > 0, _content(F.element_at(hits, -1))
+        ).otherwise(F.lit(""))
+
+    desc = _meta_get("description")
+    kw = _meta_get("keywords")
+    # "all meta values" = ' '.join(meta_dict.values()) (filters.py:546) —
+    # og:, twitter:, author, ... included, document order. Dict-key dedup of
+    # repeated meta names is the one divergence left: a head repeating a
+    # meta name contributes the value once there, each occurrence here.
+    meta_values = F.array_join(F.transform(metas, _content), " ")
     doc = F.concat(
         F.repeat(title, 3), F.lit(" "),
         F.repeat(desc, 2), F.lit(" "),

@@ -89,6 +89,7 @@ class AdaptiveCrawl:
         )
         self.run = CrawlRun(spark, pages, robots, seeds, workdir, cfg)
         self.new_terms_history: list[int] = []
+        self.pages_history: list[int] = []
         self._prev_term_count = 0
 
     # -- statistics over the accumulated knowledge base ----------------------
@@ -101,10 +102,13 @@ class AdaptiveCrawl:
             "url", F.coalesce("raw_markdown", F.lit("")).alias("text")
         )
 
-    def _consistency(self, kb: DataFrame) -> float:
+    def _consistency(self, kb: DataFrame, n_docs: int) -> float:
         """Mean pairwise Jaccard of document term sets (spec :346-373),
-        bounded sample; <2 docs → 1.0."""
+        bounded sample; <2 docs → 1.0. ``n_docs`` is the caller's KB row
+        count — the sample size is min(n_docs, cap), so no extra count job."""
         cap = self.config.consistency_max_docs
+        if min(n_docs, cap) < 2:
+            return 1.0
         # deterministic sample: an unordered limit() can pick different rows
         # per run, which would make the confidence signal itself flaky
         docs = kb.orderBy("url").limit(cap).select(
@@ -113,9 +117,6 @@ class AdaptiveCrawl:
         a = docs.alias("a")
         b = docs.alias("b")
         pairs = a.join(b, F.col("a.url") < F.col("b.url"))
-        n_docs = docs.count()
-        if n_docs < 2:
-            return 1.0
         inter = F.size(F.array_intersect(F.col("a.terms"), F.col("b.terms")))
         union = F.size(F.array_union(F.col("a.terms"), F.col("b.terms")))
         row = (
@@ -126,28 +127,18 @@ class AdaptiveCrawl:
         )
         return float(row["avg"] or 0.0)
 
-    def metrics(self) -> dict:
-        """coverage/consistency/saturation/confidence over the current KB."""
-        kb = self._kb()
-        if kb is None:
-            return {"coverage": 0.0, "consistency": 0.0, "saturation": 0.0,
-                    "confidence": 0.0, "pages": 0}
-        kb = kb.cache()
-        n_docs = kb.count()
-        if n_docs == 0:
-            kb.unpersist()
-            return {"coverage": 0.0, "consistency": 0.0, "saturation": 0.0,
-                    "confidence": 0.0, "pages": 0}
-        stats = kb_term_stats(kb, "url", "text").cache()
+    def _metrics_from(
+        self, kb: DataFrame, stats: DataFrame, n_docs: int, term_count: int
+    ) -> dict:
+        """Metrics over PREPARED inputs (cached kb + cached term stats with
+        their counts) — the single code path for step() and metrics(), so
+        the stats table is computed exactly once per adaptive step."""
         coverage = coverage_score(
             coverage_per_term(stats, self.query_terms, n_docs)
         )
-        consistency = self._consistency(kb)
-        saturation = saturation_score(self.new_terms_history)
+        consistency = self._consistency(kb, n_docs)
+        saturation = saturation_score(self.new_terms_history, self.pages_history)
         confidence = 0.4 * coverage + 0.3 * consistency + 0.3 * saturation
-        term_count = stats.count()
-        stats.unpersist()
-        kb.unpersist()
         return {
             "coverage": round(coverage, 6),
             "consistency": round(consistency, 6),
@@ -157,20 +148,52 @@ class AdaptiveCrawl:
             "terms": term_count,
         }
 
+    _EMPTY_METRICS = {
+        "coverage": 0.0, "consistency": 0.0, "saturation": 0.0,
+        "confidence": 0.0, "pages": 0,
+    }
+
+    def metrics(self) -> dict:
+        """coverage/consistency/saturation/confidence over the current KB."""
+        kb = self._kb()
+        if kb is None:
+            return dict(self._EMPTY_METRICS)
+        kb = kb.cache()
+        n_docs = kb.count()
+        if n_docs == 0:
+            kb.unpersist()
+            return dict(self._EMPTY_METRICS)
+        stats = kb_term_stats(kb, "url", "text").cache()
+        term_count = stats.count()
+        m = self._metrics_from(kb, stats, n_docs, term_count)
+        stats.unpersist()
+        kb.unpersist()
+        return m
+
     # -- the loop -------------------------------------------------------------
 
     def step(self) -> dict:
-        """One frontier iteration + refreshed KB metrics."""
+        """One frontier iteration + refreshed KB metrics. The KB and its
+        term-stats table are cached and counted ONCE; the saturation
+        history update and every metric read the same cached pair (the
+        previous shape recomputed the full stats aggregation twice per
+        step — VERDICT r02 hygiene item)."""
         s = self.run.run_iteration()
         if s.get("done"):
             return {**s, **self.metrics()}
         kb = self._kb()
-        term_count = (
-            kb_term_stats(kb, "url", "text").count() if kb is not None else 0
-        )
+        if kb is None:
+            return {**s, **dict(self._EMPTY_METRICS)}
+        kb = kb.cache()
+        n_docs = kb.count()
+        stats = kb_term_stats(kb, "url", "text").cache()
+        term_count = stats.count()
         self.new_terms_history.append(term_count - self._prev_term_count)
+        self.pages_history.append(int(s.get("fetched") or 0))
         self._prev_term_count = term_count
-        m = self.metrics()
+        m = self._metrics_from(kb, stats, n_docs, term_count)
+        stats.unpersist()
+        kb.unpersist()
         self.config.metrics_history.append(m)
         return {**s, **m}
 

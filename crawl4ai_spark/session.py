@@ -27,6 +27,17 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cores * 2)
+    # the pre-warmed worker daemon (worker_daemon.py) must be importable in
+    # the daemon process, which only sees PYTHONPATH (addPyFile zips are
+    # wired up later, inside the worker loop) — export the package root
+    # BEFORE the JVM launches. On a cluster the same is done with
+    # spark.executorEnv.PYTHONPATH + --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -35,6 +46,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        .config("spark.python.daemon.module", "crawl4ai_spark.worker_daemon")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -43,5 +43,31 @@ def test_adaptive_metrics_monotone_pages(spark, pages):
     m2 = ac.step()
     assert m2["pages"] >= m1["pages"]
     assert len(ac.new_terms_history) == 2
+    # saturation history is normalized by pages fetched per iteration
+    assert len(ac.pages_history) == 2 and all(p >= 0 for p in ac.pages_history)
     # second iteration discovers fewer/equal new terms on this small corpus
     assert ac.new_terms_history[1] <= max(ac.new_terms_history[0], ac.new_terms_history[1])
+
+
+def test_adaptive_step_builds_term_stats_once(spark, pages, monkeypatch):
+    """Job hygiene (VERDICT r02 #8): one kb_term_stats construction per
+    step — the saturation update and every metric share the cached table."""
+    import crawl4ai_spark.plans.adaptive as ad
+
+    calls = {"n": 0}
+    real = ad.kb_term_stats
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ad, "kb_term_stats", counting)
+    ac = AdaptiveCrawl(
+        spark, pages, build_robots(spark), build_seeds(spark, 3),
+        tempfile.mkdtemp(prefix="adaptive_once_"),
+        query="data value",
+        config=AdaptiveConfig(confidence_threshold=0.99, max_pages=25,
+                              batch_size=5, max_depth=3),
+    )
+    ac.step()
+    assert calls["n"] == 1

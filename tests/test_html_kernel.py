@@ -304,3 +304,75 @@ def test_extract_fit_filter_choice(pages, spark):
     z = none.select(F.sum(F.length("markdown.fit_markdown")).alias("n")).first()
     assert b.n > 0      # bm25 filter produced fit content
     assert z.n == 0     # reference default: no filter -> empty fit output
+
+
+def test_content_relevance_matches_reference_formula(spark):
+    """Differential: the Catalyst head-BM25 column vs a direct Python
+    transcription of the reference's ContentRelevanceFilter
+    (deep_crawling/filters.py:501-575 + utils.py HeadPeekr:2840-2861) —
+    including heads with og:/twitter:/author metas, which feed the
+    'all meta values' term of the weighted document."""
+    import math
+    import re
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.filters import content_relevance_score_col
+
+    def ref_score(head: str, query: str, k1=1.2, b=0.75, avgdl=1000) -> float:
+        m = re.search(r"<title>(.*?)</title>", head, re.IGNORECASE | re.DOTALL)
+        title = m.group(1) if m else ""
+        metas: dict[str, str] = {}
+        for mt in re.finditer(r"<meta[^>]+>", head):
+            tag = mt.group(0)
+            name = re.search(r'name=["\'](.*?)["\']', tag)
+            prop = re.search(r'property=["\'](.*?)["\']', tag)
+            content = re.search(r'content=["\'](.*?)["\']', tag)
+            if content and (name or prop):
+                metas[(name or prop).group(1)] = content.group(1)
+        doc = " ".join(
+            [
+                title * 3,
+                metas.get("description", "") * 2,
+                metas.get("keywords", ""),
+                " ".join(metas.values()),
+            ]
+        )
+        toks = doc.lower().split()
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        score = 0.0
+        for term in set(query.lower().split()):
+            f = tf.get(term, 0)
+            idf = math.log((1 + 1) / (f + 0.5) + 1)
+            score += idf * (f * (k1 + 1)) / (
+                f + k1 * (1 - b + b * (len(toks) / avgdl))
+            )
+        return score
+
+    heads = [
+        '<html><head><title>Spark crawl guide</title>'
+        '<meta name="description" content="deep crawl spark pages">'
+        '<meta name="keywords" content="crawl, spark"></head>',
+        '<html><head><title>OG page</title>'
+        '<meta property="og:title" content="spark spark spark">'
+        '<meta name="author" content="crawl author">'
+        '<meta name="twitter:card" content="summary spark"></head>',
+        "<html><head><title>Sparse</title></head>",
+        '<html><head><title>Quotes</title>'
+        "<meta name='description' content='single quoted spark'></head>",
+    ]
+    query = "spark crawl zebra"
+    df = spark.createDataFrame([(h,) for h in heads], "head string")
+    got = {
+        r.head: r.score
+        for r in df.select(
+            "head",
+            content_relevance_score_col(F.col("head"), query).alias("score"),
+        ).collect()
+    }
+    for h in heads:
+        assert abs(got[h] - ref_score(h, query)) < 1e-9, h
+    # the og:/author head must actually differ from a desc+kw-only reading
+    assert got[heads[1]] > 0.0
