@@ -127,6 +127,46 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                                            num_hashes=16, bands=4, threshold=0.5,
                                            hash_fn=F.xxhash64)),
     )
+    # MinHash at scale: a 20×-replicated corpus (~100k docs — rep 0 the
+    # original, rep 1 a whitespace near-dup, reps 2+ vowel-rewritten into
+    # distinct texts) through (a) the classic in-session xxhash64 pipeline
+    # and (b) the pre-bucketed band/shingle tables, where the candidate
+    # self-join runs exchange-free (plan-asserted in test_plan_quality).
+    # The table write is the amortized once-per-corpus step and is timed
+    # separately from the recurring pairs query.
+    from crawl4ai_spark.datapipe.dedup import (
+        minhash_pairs_from_tables,
+        write_minhash_tables,
+    )
+
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .when(F.col("rep") == 1, F.concat(F.lit(" "), F.col("text"), F.lit("  ")))
+        .otherwise(
+            F.regexp_replace(F.col("text"), "[aeiou]", F.col("rep").cast("string"))
+        )
+        .alias("text"),
+    )
+    big.repartition(cpus * 2).write.parquet(f"{bench_root}/big_corpus")
+    big = spark.read.parquet(f"{bench_root}/big_corpus")
+    timed(
+        "dedup_minhash_xxhash64_100k",
+        lambda: _count(minhash_dedup_pairs(big, "doc_id", "text", k=3,
+                                           num_hashes=16, bands=4, threshold=0.5,
+                                           hash_fn=F.xxhash64)),
+    )
+    timed(
+        "minhash_bucketed_write_100k",
+        lambda: write_minhash_tables(big, "doc_id", "text", "bench_mh",
+                                     hash_fn=F.xxhash64, buckets=cpus * 2),
+    )
+    timed(
+        "minhash_bucketed_pairs_100k",
+        lambda: _count(minhash_pairs_from_tables(spark, "bench_mh", threshold=0.5)),
+    )
+
     timed(
         "ann_bruteforce",
         lambda: _count(

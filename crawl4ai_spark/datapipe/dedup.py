@@ -180,6 +180,136 @@ def minhash_dedup_pairs(
     return verified
 
 
+
+def _drop_table(spark, name: str) -> None:
+    """DROP IF EXISTS plus location cleanup: the warehouse directory
+    outlives the in-memory catalog, so a fresh session's overwrite would
+    otherwise fail with LOCATION_ALREADY_EXISTS on the orphaned dir."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    loc = os.path.join(wh, name.lower())
+    if wh and os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def write_minhash_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    name_prefix: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+    buckets: int = 32,
+) -> None:
+    """The 10^10-doc materialization step (the plan written down at the top
+    of this module): compute shingles + signatures ONCE and persist two
+    bucketed tables, amortized across every subsequent dedup run —
+
+    - ``<prefix>_shingles`` bucketed by doc_id (the verify joins read it
+      co-located, no exchange on the shingle side);
+    - ``<prefix>_bands`` bucketed by band_key, where band_id is FOLDED into
+      the key (hash of band_id:slice-key) so the candidate self-join is a
+      single-column equi-join on the bucket column — zero exchanges.
+      Cross-band key collisions are possible and harmless: every candidate
+      pair is verified by exact Jaccard.
+
+    ``buckets`` is the shuffle-free join's parallelism — size it so one
+    bucket's band rows fit a task (corpus_rows × bands / buckets). On a
+    real cluster this is the same layout as Iceberg's bucket partition
+    transform."""
+    spark = df.sparkSession
+    for suffix in ("_shingles", "_bands"):
+        _drop_table(spark, f"{name_prefix}{suffix}")
+    sh = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_col(text_col, k).alias("shingles"),
+    )
+    # repartition on the bucket column first: a bucketed write otherwise
+    # emits (#input-partitions × buckets) files — the shuffle costs one
+    # exchange at write time and buys 1 file/bucket forever after
+    (
+        sh.repartition(buckets, F.col("doc_id"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{name_prefix}_shingles")
+    )
+    rows = num_hashes // bands
+    spark = df.sparkSession
+    sig_df = spark.table(f"{name_prefix}_shingles").select(
+        "doc_id",
+        minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=hash_fn).alias(
+            "sig"
+        ),
+    )
+    banded = sig_df.select(
+        "doc_id",
+        F.posexplode(
+            band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)
+        ).alias("band_id", "raw_key"),
+    ).select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(":", F.col("band_id"), F.col("raw_key"))).alias(
+            "band_key"
+        ),
+    )
+    (
+        banded.repartition(buckets, F.col("band_key"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(f"{name_prefix}_bands")
+    )
+
+
+def minhash_pairs_from_tables(
+    spark,
+    name_prefix: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs from the pre-bucketed tables written by
+    ``write_minhash_tables``. The candidate self-join and both verify joins
+    run exchange-free on the bucket layout (plan-asserted in
+    test_plan_quality) — at 10^10 docs the only shuffle left is the
+    candidate-pair dropDuplicates."""
+    banded = spark.table(f"{name_prefix}_bands")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = spark.table(f"{name_prefix}_shingles")
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df_a: DataFrame,
     df_b: DataFrame,

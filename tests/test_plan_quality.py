@@ -154,6 +154,42 @@ def test_priority_rank_salted_matches_naive(spark, pages):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_bucketed_minhash_band_join_is_exchange_free(spark, sf_dir):
+    """The written-down 10^10-doc MinHash plan: band table bucketed by
+    band_key ⇒ the candidate self-join needs NO exchange on either side,
+    and the shingle table (bucketed by doc_id) feeds the verify joins
+    without being shuffled. Output must equal the classic in-session path."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from crawl4ai_spark.datapipe.dedup import (
+        minhash_dedup_pairs,
+        minhash_pairs_from_tables,
+        write_minhash_tables,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit(" "), "text", F.lit("  ")).alias("text"),
+        )
+    )
+    write_minhash_tables(dup, "doc_id", "text", "t_pq_bands", hash_fn=F.xxhash64,
+                         buckets=4)
+    out = minhash_pairs_from_tables(spark, "t_pq_bands")
+    plan = _plan(out)
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    # no hash exchange on the band join key anywhere in the plan
+    assert "hashpartitioning(band_key" not in plan
+    classic = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(dup, "doc_id", "text",
+                                     hash_fn=F.xxhash64).collect()
+    }
+    got = {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+    assert got == classic
+
+
 def test_ann_sheds_vectors_before_window(spark, sf_dir):
     from crawl4ai_spark.datapipe.similarity import ann_bruteforce_topk
 
