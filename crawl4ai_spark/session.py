@@ -71,4 +71,31 @@ def get_spark(
     from crawl4ai_spark.deploy import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
+    _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Start the pre-warmed worker daemon (worker_daemon.py) in the
+    BACKGROUND while the caller is still building its inputs. The daemon's
+    preload (pyspark serializers + pandas + pyarrow + the HTML engine) is a
+    few serial seconds; paying it concurrently with session setup means the
+    first real UDF stage only pays per-worker forks (~1 ms each) instead of
+    32 parallel cold imports. Best-effort: any failure falls back to lazy
+    worker startup."""
+    import threading
+
+    def _go() -> None:
+        try:
+            import pandas as pd
+            from pyspark.sql import functions as F
+
+            @F.pandas_udf("long")
+            def _ident(s: pd.Series) -> pd.Series:
+                return s
+
+            spark.range(1).select(_ident("id")).collect()
+        except Exception:
+            pass
+
+    threading.Thread(target=_go, name="c4ai-worker-warmup", daemon=True).start()
