@@ -138,3 +138,54 @@ def test_frame_sample(spark):
     frames = sample_frames(df, every_n=1000).collect()
     assert [(r.frame_idx, r.offset) for r in frames] == [(0, 0), (1, 1000), (2, 2000)]
     assert frames[0].digest == hashlib.md5(b"x" * 1000).hexdigest()
+
+
+def test_connected_components_chain_and_star(spark):
+    from crawl4ai_spark.datapipe.components import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, star 10-(11,12,13), singleton edge 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_round_cap(spark):
+    import pytest
+
+    from crawl4ai_spark.datapipe.components import connected_components
+
+    # a 12-node path needs ~11 label rounds; cap at 3 must raise, not
+    # silently return partial labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=3)
+    full = connected_components(edges, max_rounds=25)
+    assert {r.component for r in full.collect()} == {0}
+
+
+def test_minhash_dedup_groups_transitive(spark):
+    from crawl4ai_spark.datapipe.components import minhash_dedup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    bridge = base + " " + other
+    df = spark.createDataFrame(
+        [(0, base), (1, other), (2, bridge), (3, "unrelated words entirely distinct corpus")],
+        "doc_id long, text string",
+    )
+    # bands=16 (one signature row per band) maximizes candidate recall so
+    # the marginal bridge pairs (jaccard ≈ 0.45) deterministically surface
+    rows = {r.doc_id: r for r in minhash_dedup_groups(
+        df, "doc_id", "text", num_hashes=16, bands=16, threshold=0.3).collect()}
+    # 0~2 and 1~2 but 0 !~ 1: all three must share one group via the bridge
+    assert rows[0].group_id == rows[1].group_id == rows[2].group_id == 0
+    assert rows[0].group_size == 3
+    assert rows[3].group_id == 3 and rows[3].group_size == 1
+    assert rows[0].is_representative and rows[3].is_representative
+    assert not rows[2].is_representative
