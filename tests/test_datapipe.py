@@ -189,3 +189,62 @@ def test_minhash_dedup_groups_transitive(spark):
     assert rows[3].group_id == 3 and rows[3].group_size == 1
     assert rows[0].is_representative and rows[3].is_representative
     assert not rows[2].is_representative
+
+
+# -- decontamination ----------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "beta gamma delta zeta eta"),
+            (3, "one two three four five"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("beta gamma delta",)], ["text"]
+    )
+    from crawl4ai_spark.datapipe.decontam import decontaminate
+
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", n=3
+        ).collect()
+    }
+    # docs 1 and 2 share the 3-gram "beta gamma delta" with the benchmark
+    assert out[1] == (3, 1, True)
+    assert out[2] == (3, 1, True)
+    assert out[3] == (3, 0, False)
+    # < n tokens → no grams, never contaminated
+    assert out[4] == (0, 0, False)
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([("a b c d",)], ["text"])
+    from crawl4ai_spark.datapipe.decontam import decontaminate
+
+    row = decontaminate(corpus, bench, "doc_id", "text", n=3).collect()[0]
+    # benchmark grams {abc, bcd} both occur in the doc's 4 grams
+    assert (row["n_grams"], row["n_hits"]) == (4, 2)
+
+
+def test_decontaminate_plan_broadcasts_both_small_sides(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x y z q r s t") for i in range(50)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([("x y z q",)], ["text"])
+    from crawl4ai_spark.datapipe.decontam import decontaminate
+
+    plan = (
+        decontaminate(corpus, bench, "doc_id", "text", n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both joins broadcast; the corpus side is never exchanged on a key
+    assert plan.count("BroadcastHashJoin") == 2
