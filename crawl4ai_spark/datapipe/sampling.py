@@ -77,3 +77,44 @@ def stratified_sample_by_hash(
             F.col(stratum_col) == stratum, F.lit(float(rate))
         ).otherwise(rate_expr)
     return df.filter(hash_uniform_col(key, salt, portable=portable) < rate_expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict[str, float],
+    total: int | None = None,
+    salt: str = "",
+    portable: bool = False,
+) -> DataFrame:
+    """Rebalance a multi-source corpus toward target mixture ``weights``
+    (source → relative weight, e.g. {"web": 0.6, "wiki": 0.3, "code":
+    0.1}): each source keeps ~min(1, target_s / n_s) of its documents,
+    where target_s = normalized_weight_s · total (default total = corpus
+    size). Downsamples over-represented sources; under-represented sources
+    keep everything (hash sampling cannot invent rows — upweighting is the
+    trainer's epoch-weighting job, not the corpus builder's).
+
+    Adds ``keep_prob`` and filters to kept rows. Decisions are per-row
+    hash tests against a broadcast per-source probability map — the corpus
+    itself never shuffles; the only aggregation is the tiny per-source
+    count (map-side partial agg, #sources rows).
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = int(total if total is not None else sum(counts.values()))
+    wsum = float(sum(weights.values())) or 1.0
+    probs: dict[str, float] = {}
+    for src, n_s in counts.items():
+        w = float(weights.get(src, 0.0)) / wsum
+        probs[src] = min(1.0, (w * n_total) / n_s) if n_s else 0.0
+    prob_expr: Column = F.lit(0.0)
+    for src, p in sorted(probs.items()):
+        prob_expr = F.when(F.col(source_col) == src, F.lit(p)).otherwise(prob_expr)
+    return (
+        df.withColumn("keep_prob", prob_expr)
+        .filter(hash_uniform_col(key, salt, portable=portable) < F.col("keep_prob"))
+    )

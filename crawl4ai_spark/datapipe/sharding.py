@@ -100,3 +100,46 @@ def shard_manifest(packed: DataFrame, tokens_col: str, shard_col: str = "shard_i
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(tokens_col)).alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    drop_last_partial: bool = False,
+) -> DataFrame:
+    """Split each document's token stream into fixed-length training
+    windows: (id, seq_no, n_tokens, seq_text), one row per window of
+    ``seq_len`` whitespace tokens (the final window is shorter unless
+    ``drop_last_partial``). Documents tokenize and split entirely inside
+    whole-stage codegen — a narrow map with NO shuffle; 1→N fan-out via
+    posexplode, the same shape as multimodal.sample_frames."""
+    from crawl4ai_spark.datapipe.textstats import tokens_col
+
+    toks = tokens_col(text_col)
+    n_seqs = F.ceil(F.size(toks) / F.lit(float(seq_len))).cast("int")
+    # guard: F.sequence(0, -1) DESCENDS, so an empty document must map to
+    # an empty window list, not [0, -1]
+    windows = F.when(
+        n_seqs > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seqs - 1),
+            lambda i: F.slice(toks, i * seq_len + 1, seq_len),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    out = (
+        df.withColumn("_w", windows)
+        .select(
+            id_col, F.posexplode("_w").alias("seq_no", "_seq")
+        )
+        .select(
+            id_col,
+            "seq_no",
+            F.size("_seq").cast("long").alias("n_tokens"),
+            F.array_join("_seq", " ").alias("seq_text"),
+        )
+    )
+    if drop_last_partial:
+        out = out.filter(F.col("n_tokens") == seq_len)
+    return out

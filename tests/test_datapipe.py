@@ -248,3 +248,58 @@ def test_decontaminate_plan_broadcasts_both_small_sides(spark):
     )
     # both joins broadcast; the corpus side is never exchanged on a key
     assert plan.count("BroadcastHashJoin") == 2
+
+
+# -- sequence packing + source mixing -----------------------------------------
+
+
+def test_pack_sequences_windows(spark):
+    from crawl4ai_spark.datapipe.sharding import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x y")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["doc_id"], r["seq_no"]): (r["n_tokens"], r["seq_text"])
+        for r in pack_sequences(df, "doc_id", "text", seq_len=2).collect()
+    }
+    assert rows[(1, 0)] == (2, "a b")
+    assert rows[(1, 1)] == (2, "c d")
+    assert rows[(1, 2)] == (1, "e")          # short tail kept
+    assert rows[(3, 0)] == (2, "x y")
+    assert not any(d == 2 for d, _ in rows)  # empty doc -> no windows
+
+    full = pack_sequences(df, "doc_id", "text", seq_len=2,
+                          drop_last_partial=True).collect()
+    assert all(r["n_tokens"] == 2 for r in full)
+    assert len(full) == 3
+
+
+def test_mix_sources_probabilities_and_determinism(spark):
+    from crawl4ai_spark.datapipe.sampling import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    out = mix_sources(df, "doc_id", "source", {"big": 1.0, "small": 1.0},
+                      total=40, salt="t", portable=True)
+    probs = {r["source"]: r["keep_prob"] for r in out.collect()}
+    # target 20 docs each: big keeps 20/80, small keeps 20/20 -> capped 1.0
+    assert probs["big"] == 0.25
+    assert probs["small"] == 1.0
+    small_kept = out.filter(F.col("source") == "small").count()
+    assert small_kept == 20  # prob 1.0 keeps everything
+    # deterministic: same inputs -> identical kept set on a different layout
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mix_sources(df.repartition(7), "doc_id", "source",
+                             {"big": 1.0, "small": 1.0}, total=40,
+                             salt="t", portable=True).collect()
+    )
+    assert a == b
+    # zero-weight source drops entirely
+    none = mix_sources(df, "doc_id", "source", {"small": 1.0}, total=10,
+                       salt="t", portable=True)
+    assert none.filter(F.col("source") == "big").count() == 0
