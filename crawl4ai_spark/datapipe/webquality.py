@@ -194,6 +194,267 @@ def gopher_gate_col(
     )
 
 
+# -- full Gopher repetition suite (Table A1, rows 9-21) -----------------------
+#
+# Char accounting convention (documented; both engines compute the same
+# value): all character fractions count TOKEN characters only — an n-gram's
+# char length is the sum of its tokens' lengths (its joined length minus
+# the n-1 separator spaces), and denominators are the document's total
+# token chars. The paper does not pin down whitespace handling; this
+# choice makes every fraction reach exactly 1.0 on a fully-repeated
+# document. All metrics are per-document O(P²) / O(G²·n) array lambdas
+# (P = parts, G = grams per document — tens to hundreds), never
+# corpus-sized.
+
+
+def paragraphs_col(text: Column | str) -> Column:
+    """Non-empty whitespace-trimmed paragraphs (blank-line separated)."""
+    parts = F.transform(F.split(_c(text), r"\n{2,}"), F.trim)
+    return F.filter(parts, lambda p: p != "")
+
+
+def dup_frac_from_parts(parts: Column) -> Column:
+    """Fraction of entries that repeat an earlier entry."""
+    n = F.size(parts)
+    dups = n - F.size(F.array_distinct(parts))
+    return F.when(n > 0, dups.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_char_frac_from_parts(parts: Column) -> Column:
+    """Fraction of characters inside entries that occur more than once
+    (ALL copies of a duplicated entry count, per the paper)."""
+    total = F.aggregate(
+        parts, F.lit(0).cast("long"), lambda a, p: a + F.length(p)
+    )
+    dup_chars = F.aggregate(
+        parts,
+        F.lit(0).cast("long"),
+        lambda a, p: a
+        + F.when(
+            F.size(F.filter(parts, lambda x: x == p)) > 1, F.length(p)
+        ).otherwise(F.lit(0)),
+    )
+    return F.when(
+        total > 0, dup_chars.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def _grams(ws: Column, n: int) -> Column:
+    """Non-distinct word n-grams (joined with single spaces)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+
+
+def _token_chars(ws: Column) -> Column:
+    return F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+
+
+def top_ngram_char_frac_col(text: Column | str, n: int) -> Column:
+    """Paper rows 12-14: fraction of token characters covered by the most
+    frequent word n-gram = max_g(count(g) · token_chars(g)) / total token
+    chars."""
+    ws = F.transform(words_col(text), F.lower)
+    n_w = F.size(ws)
+    grams = _grams(ws, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: (
+                F.size(F.filter(grams, lambda x: x == g))
+                * (F.length(g) - (n - 1))
+            ).cast("long"),
+        )
+    )
+    total = _token_chars(ws)
+    return F.when(
+        (n_w >= n) & (total > 0), top.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_frac_col(text: Column | str, n: int) -> Column:
+    """Paper rows 15-20: fraction of token characters covered by ANY word
+    n-gram that occurs more than once. Coverage is positional (overlapping
+    duplicated grams never double-count a token): token j is covered iff
+    some duplicated gram starts in [j-n+1, j]."""
+    ws = F.transform(words_col(text), F.lower)
+    n_w = F.size(ws)
+    grams = _grams(ws, n)
+    n_g = F.size(grams)
+    dupflags = F.transform(
+        grams, lambda g: F.size(F.filter(grams, lambda x: x == g)) > 1
+    )
+    covered = F.aggregate(
+        F.sequence(F.lit(1), n_w),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.exists(
+                F.sequence(
+                    F.greatest(F.lit(1), j - (n - 1)), F.least(j, n_g)
+                ),
+                lambda i: F.element_at(dupflags, i),
+            ),
+            F.length(F.element_at(ws, j)),
+        ).otherwise(F.lit(0)),
+    )
+    total = _token_chars(ws)
+    return F.when(
+        (n_w >= n) & (total > 0), covered.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def grams_guarded_col(ws: Column, n: int) -> Column:
+    """n-grams of a word array, empty (not descending!) when the document
+    is shorter than n tokens."""
+    win = _grams(ws, n)
+    return F.when(F.size(ws) >= n, win).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dupflags_col(grams: Column) -> Column:
+    return F.transform(
+        grams, lambda g: F.size(F.filter(grams, lambda x: x == g)) > 1
+    )
+
+
+def _top_frac_from_grams(grams: Column, tot: Column, n: int) -> Column:
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: (
+                F.size(F.filter(grams, lambda x: x == g))
+                * (F.length(g) - (n - 1))
+            ).cast("long"),
+        )
+    )
+    return F.when(
+        (F.size(grams) > 0) & (tot > 0),
+        top.cast("double") / tot.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def _dup_frac_from_flags(
+    ws: Column, flags: Column, tot: Column, n: int
+) -> Column:
+    n_g = F.size(flags)
+    covered = F.aggregate(
+        F.sequence(F.lit(1), F.size(ws)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.exists(
+                F.sequence(
+                    F.greatest(F.lit(1), j - (n - 1)), F.least(j, n_g)
+                ),
+                lambda i: F.element_at(flags, i),
+            ),
+            F.length(F.element_at(ws, j)),
+        ).otherwise(F.lit(0)),
+    )
+    return F.when(
+        (n_g > 0) & (tot > 0), covered.cast("double") / tot.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_repetition_frame(df, text_col: str, out_prefix: str = ""):
+    """Add all 13 Table A1 repetition metrics as columns. Unlike the
+    single-Column forms below, the word/gram/dup-flag arrays are STAGED as
+    real columns first, so each is computed once per row — the
+    single-expression form inlines the gram construction into every
+    lambda, which Catalyst neither de-duplicates across lambda boundaries
+    nor codegens compactly (a 13-metric struct stalls compilation).
+    Still shuffle-free: a chain of per-row projections."""
+    ws = F.transform(words_col(F.col(text_col)), F.lower)
+    staged = df.withColumn("_ws", ws).withColumn("_tot", _token_chars(F.col("_ws")))
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        staged = staged.withColumn(f"_g{n}", grams_guarded_col(F.col("_ws"), n))
+    for n in range(5, 11):
+        staged = staged.withColumn(f"_f{n}", dupflags_col(F.col(f"_g{n}")))
+    ls = lines_col(F.col(text_col))
+    ps = paragraphs_col(F.col(text_col))
+    p = out_prefix
+    out = (
+        staged.withColumn(p + "dup_line_frac", F.round(dup_frac_from_parts(ls), 6))
+        .withColumn(p + "dup_line_char_frac", F.round(dup_char_frac_from_parts(ls), 6))
+        .withColumn(p + "dup_para_frac", F.round(dup_frac_from_parts(ps), 6))
+        .withColumn(p + "dup_para_char_frac", F.round(dup_char_frac_from_parts(ps), 6))
+    )
+    for n in (2, 3, 4):
+        out = out.withColumn(
+            f"{p}top_{n}gram_char_frac",
+            F.round(
+                _top_frac_from_grams(F.col(f"_g{n}"), F.col("_tot"), n), 6
+            ),
+        )
+    for n in range(5, 11):
+        out = out.withColumn(
+            f"{p}dup_{n}gram_char_frac",
+            F.round(
+                _dup_frac_from_flags(
+                    F.col("_ws"), F.col(f"_f{n}"), F.col("_tot"), n
+                ),
+                6,
+            ),
+        )
+    drop = ["_ws", "_tot"] + [f"_g{n}" for n in (2, 3, 4, 5, 6, 7, 8, 9, 10)] + [
+        f"_f{n}" for n in range(5, 11)
+    ]
+    return out.drop(*drop)
+
+
+def gopher_repetition_metrics(text: Column | str) -> Column:
+    """The paper's full repetition screen (Table A1 rows 9-20) as one
+    struct: line/paragraph dup fractions (by count and by chars), top
+    2/3/4-gram char fractions, dup 5..10-gram char fractions. Rounded to
+    6 dp so the oracle compare is exact."""
+    c = _c(text)
+    ls = lines_col(c)
+    ps = paragraphs_col(c)
+    fields = [
+        F.round(dup_frac_from_parts(ls), 6).alias("dup_line_frac"),
+        F.round(dup_char_frac_from_parts(ls), 6).alias("dup_line_char_frac"),
+        F.round(dup_frac_from_parts(ps), 6).alias("dup_para_frac"),
+        F.round(dup_char_frac_from_parts(ps), 6).alias("dup_para_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        fields.append(
+            F.round(top_ngram_char_frac_col(c, n), 6).alias(
+                f"top_{n}gram_char_frac"
+            )
+        )
+    for n in range(5, 11):
+        fields.append(
+            F.round(dup_ngram_char_frac_col(c, n), 6).alias(
+                f"dup_{n}gram_char_frac"
+            )
+        )
+    return F.struct(*fields)
+
+
+def gopher_repetition_gate_col(metrics: Column) -> Column:
+    """Keep/reject over ``gopher_repetition_metrics`` with the paper's
+    published thresholds (Table A1): dup line/para frac ≤ 0.30/0.30,
+    dup line/para char frac ≤ 0.20/0.20, top 2/3/4-gram ≤ 0.20/0.18/0.16,
+    dup 5..10-gram ≤ 0.15/0.14/0.13/0.12/0.11/0.10."""
+    m = metrics
+    keep = (
+        (m["dup_line_frac"] <= 0.30)
+        & (m["dup_para_frac"] <= 0.30)
+        & (m["dup_line_char_frac"] <= 0.20)
+        & (m["dup_para_char_frac"] <= 0.20)
+    )
+    for n, t in ((2, 0.20), (3, 0.18), (4, 0.16)):
+        keep = keep & (m[f"top_{n}gram_char_frac"] <= t)
+    for n, t in zip(range(5, 11), (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)):
+        keep = keep & (m[f"dup_{n}gram_char_frac"] <= t)
+    return keep
+
+
 # -- C4 line/page cleaning ----------------------------------------------------
 
 

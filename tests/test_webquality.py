@@ -163,3 +163,73 @@ def test_pack_shards_empty_and_manifest(spark):
     m = {r.shard_id: (r.n_docs, r.n_tokens) for r in shard_manifest(packed, "n_tokens").collect()}
     # doc1 starts at 0 (shard 0), doc2 at 60 (shard 0), doc3 at 120 (shard 1)
     assert m == {0: (2, 120), 1: (1, 60)}
+
+
+# -- full Gopher repetition screen --------------------------------------------
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from crawl4ai_spark.datapipe.webquality import gopher_repetition_frame
+
+    text = "aa bb cc aa bb cc dd\n\npara one\n\npara one"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    r = gopher_repetition_frame(df, "text").collect()[0]
+    # paragraphs: ["aa...dd", "para one", "para one"] -> 1/3 dup
+    assert r["dup_para_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # dup para chars: 8+8 of (20+8+8)
+    assert r["dup_para_char_frac"] == pytest.approx(16 / 36, abs=1e-6)
+    # top 2-gram: "para one" x2 -> 2*7 token chars of 28 total
+    assert r["top_2gram_char_frac"] == pytest.approx(14 / 28, abs=1e-6)
+    # no 5..10-gram repeats in this doc
+    for n in range(5, 11):
+        assert r[f"dup_{n}gram_char_frac"] == 0.0
+
+
+def test_repetition_gate_thresholds(spark):
+    from crawl4ai_spark.datapipe.webquality import (
+        gopher_repetition_frame,
+        gopher_repetition_gate_col,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    clean = " ".join(f"w{i}" for i in range(60))
+    spam = " ".join(["spam is bad and very bad indeed"] * 10)
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam)], "id long, text string"
+    )
+    out = gopher_repetition_frame(df, "text", out_prefix="m_")
+    struct = F.struct(
+        *[
+            F.col("m_" + f).alias(f)
+            for f in [
+                "dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac",
+                "top_2gram_char_frac", "top_3gram_char_frac",
+                "top_4gram_char_frac",
+            ]
+            + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+        ]
+    )
+    rows = {
+        r["id"]: r["keep"]
+        for r in out.select(
+            "id", gopher_repetition_gate_col(struct).alias("keep")
+        ).collect()
+    }
+    assert rows[1] is True    # all-distinct doc passes every screen
+    assert rows[2] is False   # 10x-repeated sentence fails dup-gram screens
+
+
+def test_repetition_short_doc_guards(spark):
+    from crawl4ai_spark.datapipe.webquality import gopher_repetition_frame
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "only three words")], "id long, text string"
+    )
+    rows = {r["id"]: r for r in gopher_repetition_frame(df, "text").collect()}
+    for rid in (1, 2):
+        for n in range(5, 11):
+            assert rows[rid][f"dup_{n}gram_char_frac"] == 0.0
+    assert rows[2]["top_2gram_char_frac"] == pytest.approx(
+        (5 + 5) / 14, abs=1e-6
+    )  # "three words" 2-gram: 10 of 14 token chars
