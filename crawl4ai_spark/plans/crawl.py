@@ -151,18 +151,54 @@ class CrawlRun:
         }
 
     def _bootstrap(self) -> None:
-        """Iteration -1 → 0: seed the frontier and the seen set."""
-        seeds = self.seeds.coalesce(1).select(
-            F.col("url"),
-            normalize_deep_udf(F.col("url"), F.col("url")).alias("url_norm"),
-            host_col(F.col("url")).alias("host"),
-            F.lit(0).alias("depth"),
-            F.lit(0.0).alias("score"),
-            F.lit(None).cast("string").alias("parent_url"),
-            F.lit(0).alias("discovered_iter"),
-        )
-        seeds = seeds.dropDuplicates(["url_norm"]).coalesce(1).cache()
-        n_seeds = seeds.count()
+        """Iteration -1 → 0: seed the frontier and the seen set.
+
+        Fast path: a seed list is CONFIG-sized (the reference takes a
+        Python list of URLs), so up to ``broadcast_frontier_max`` rows the
+        normalize+dedup runs driver-side with the same
+        ``normalize_url_for_deep_crawl`` the Arrow UDF wraps — one bounded
+        collect and zero shuffles, where the distributed
+        UDF→dropDuplicates chain costs several seconds of first-shuffle
+        plan compilation for a few hundred rows. Beyond the threshold
+        (a resumed mega-frontier injected as "seeds") the distributed
+        path with identical semantics takes over."""
+        cfg = self.config
+        n_hint = self.seeds.count()
+        if n_hint <= cfg.broadcast_frontier_max:
+            from crawl4ai_spark.functions.urlnorm import (
+                normalize_url_for_deep_crawl,
+            )
+
+            dedup: dict[str, str] = {}
+            for r in self.seeds.select("url").collect():
+                u = r["url"]
+                norm = normalize_url_for_deep_crawl(u, u)
+                dedup.setdefault(norm, u)
+            local = self.spark.createDataFrame(
+                [(u, n) for n, u in dedup.items()], "url string, url_norm string"
+            ).coalesce(1)
+            seeds = local.select(
+                "url",
+                "url_norm",
+                host_col(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(0.0).alias("score"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.lit(0).alias("discovered_iter"),
+            ).cache()
+            n_seeds = len(dedup)
+        else:
+            seeds = self.seeds.coalesce(1).select(
+                F.col("url"),
+                normalize_deep_udf(F.col("url"), F.col("url")).alias("url_norm"),
+                host_col(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(0.0).alias("score"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.lit(0).alias("discovered_iter"),
+            )
+            seeds = seeds.dropDuplicates(["url_norm"]).coalesce(1).cache()
+            n_seeds = seeds.count()
         # two independent tables — commit concurrently off the shared cache
         with ThreadPoolExecutor(max_workers=2) as pool:
             f1 = pool.submit(
