@@ -95,6 +95,14 @@ def _warm_python_workers(spark: SparkSession) -> None:
                 return s
 
             spark.range(1).select(_ident("id")).collect()
+            # First shuffle + first broadcast join each pay one-time plan
+            # compilation / exchange codegen (~2-3 s on a cold JVM). A
+            # long-lived cluster app pays this once per session, not per
+            # job — trigger both here so the first real iteration doesn't.
+            spark.range(64).repartition(2, "id").count()
+            spark.range(16).join(
+                F.broadcast(spark.range(8)), "id"
+            ).count()
         except Exception:
             pass
 
