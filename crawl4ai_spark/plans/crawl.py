@@ -174,9 +174,17 @@ class CrawlRun:
                 u = r["url"]
                 norm = normalize_url_for_deep_crawl(u, u)
                 dedup.setdefault(norm, u)
+            # one explicit slice: createDataFrame(list) parallelizes into
+            # defaultParallelism slices, and coalesce(1) would then fuse
+            # them into ONE task that runs all those Python partition
+            # computations SERIALLY (~8 s for 32 slices on a warm session);
+            # parallelize(data, 1) does the same work in a single pass
             local = self.spark.createDataFrame(
-                [(u, n) for n, u in dedup.items()], "url string, url_norm string"
-            ).coalesce(1)
+                self.spark.sparkContext.parallelize(
+                    [(u, n) for n, u in dedup.items()], 1
+                ),
+                "url string, url_norm string",
+            )
             seeds = local.select(
                 "url",
                 "url_norm",
@@ -187,8 +195,12 @@ class CrawlRun:
                 F.lit(0).alias("discovered_iter"),
             ).cache()
             n_seeds = len(dedup)
+            cached = seeds
         else:
-            seeds = self.seeds.coalesce(1).select(
+            # keep the normalize UDF + dedup distributed (a resumed
+            # mega-frontier is exactly the case one task can't hold);
+            # size the snapshot files by row count after the fact
+            seeds = self.seeds.select(
                 F.col("url"),
                 normalize_deep_udf(F.col("url"), F.col("url")).alias("url_norm"),
                 host_col(F.col("url")).alias("host"),
@@ -197,8 +209,9 @@ class CrawlRun:
                 F.lit(None).cast("string").alias("parent_url"),
                 F.lit(0).alias("discovered_iter"),
             )
-            seeds = seeds.dropDuplicates(["url_norm"]).coalesce(1).cache()
-            n_seeds = seeds.count()
+            cached = seeds.dropDuplicates(["url_norm"]).cache()
+            n_seeds = cached.count()
+            seeds = cached.coalesce(max(1, min(32, n_seeds // 50_000 + 1)))
         # two independent tables — commit concurrently off the shared cache
         with ThreadPoolExecutor(max_workers=2) as pool:
             f1 = pool.submit(
@@ -214,7 +227,7 @@ class CrawlRun:
             )
             f1.result()
             f2.result()
-        seeds.unpersist()
+        cached.unpersist()
 
     # -- one iteration ---------------------------------------------------------
 

@@ -103,6 +103,11 @@ def _warm_python_workers(spark: SparkSession) -> None:
             spark.range(16).join(
                 F.broadcast(spark.range(8)), "id"
             ).count()
+            # createDataFrame(local list) goes through the pickled-RDD
+            # scan path (PythonRDD), which has its own first-job cost
+            spark.createDataFrame(
+                spark.sparkContext.parallelize([("w",)], 1), "x string"
+            ).count()
         except Exception:
             pass
 
