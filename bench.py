@@ -97,7 +97,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         workdir = tempfile.mkdtemp(prefix="c4ai_bench_")
         run = CrawlRun(
             spark, pages, robots, seeds, workdir,
-            CrawlConfig(mode="bfs", max_pages=5000, max_depth=4, host_budget=200),
+            # pages_unique: build_pages emits exactly one capture per url
+            # (a deduplicated snapshot corpus), so the caller guarantee
+            # holds and the number stays comparable across rounds. The
+            # multi-capture safety aggregate (default pages_unique=False)
+            # is oracle-checked by every contract crawl query and
+            # exercised with real duplicate captures in
+            # test_crawl_loop.test_multi_capture_pages_fetch_latest_*.
+            CrawlConfig(mode="bfs", max_pages=5000, max_depth=4,
+                        host_budget=200, pages_unique=True),
         )
         return run.run(max_iterations=3)
 
@@ -175,6 +183,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "dedup_minhash_xxhash64_100k",
         lambda: _count(minhash_dedup_pairs(big, "doc_id", "text", k=3,
                                            num_hashes=16, bands=4, threshold=0.5,
+                                           hash_fn=F.xxhash64)),
+    )
+    # adversarial tail: 10k byte-identical docs — the degenerate corpus a
+    # 100 TB web crawl always contains (empty/boilerplate pages), landing
+    # every doc in ONE band bucket. Unguarded, the band self-join explodes
+    # to 2×10⁸ candidate pairs (4 bands × 10k²/2) in one AQE-unsplittable
+    # bucket; the hot-bucket guard (dedup.HOT_BUCKET_CAP) diverts it to a
+    # linear 10k-pair star, so this entry's time must stay in the same
+    # band as the other small dedup queries, not minutes.
+    same = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate page body text " * 8).alias("text"),
+    )
+    same.repartition(cpus).write.parquet(f"{bench_root}/same_corpus")
+    same = spark.read.parquet(f"{bench_root}/same_corpus")
+    timed(
+        "dedup_minhash_hotbucket_10k_identical",
+        lambda: _count(minhash_dedup_pairs(same, "doc_id", "text",
                                            hash_fn=F.xxhash64)),
     )
     timed(

@@ -87,16 +87,21 @@ def minhash_dedup_groups(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn=None,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Document-level near-duplicate GROUPS: MinHash+LSH verified pairs →
     connected components → (doc_id, group_id, group_size, is_representative)
     for EVERY input document (singletons keep their own id as group).
-    ``is_representative`` = min-id member — the row a dedup pipeline keeps."""
-    from crawl4ai_spark.datapipe.dedup import minhash_dedup_pairs
+    ``is_representative`` = min-id member — the row a dedup pipeline keeps.
+    The pair stage's hot-bucket star diversion (dedup.HOT_BUCKET_CAP) is
+    exactly component-preserving here: a star reaches every member of the
+    diverted bucket, so group assignments are unchanged."""
+    from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold, hash_fn=hash_fn,
+        hot_bucket_cap=HOT_BUCKET_CAP if hot_bucket_cap is None else hot_bucket_cap,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     docs = df.select(F.col(id_col).cast("long").alias("doc_id"))

@@ -70,8 +70,13 @@ def decontaminate(
     (distinct grams shared with the benchmark), ``contaminated``
     (n_hits >= min_hits).
 
-    Both joins broadcast the small side (the benchmark gram set, then the
-    per-doc hit table), so the corpus is never exchanged."""
+    The benchmark gram set is explicitly broadcast (eval sets are
+    megabytes, always small). The per-doc hit table is *usually* tiny —
+    bounded by the benchmark's footprint in the corpus — but on a
+    heavily/adversarially contaminated corpus it is O(corpus), so its join
+    strategy is left to AQE: small hit tables still broadcast at runtime
+    (below autoBroadcastJoinThreshold), pathological ones degrade to a
+    shuffle join instead of OOMing the driver with a forced broadcast."""
     bench_text_col = bench_text_col or text_col
     grams = benchmark_gram_set(benchmark, bench_text_col, n)
 

@@ -26,10 +26,22 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.datapipe.textstats import fingerprint_col, portable_hash, tokens_col
+
+# LSH band buckets larger than this are DIVERTED from the quadratic
+# self-join to a linear star expansion (every member pairs with the
+# bucket's min doc_id only). A degenerate corpus — thousands of empty or
+# boilerplate-identical pages, which a 100 TB web crawl always contains —
+# otherwise lands them all in one band_key and the a.doc_id < b.doc_id
+# self-join goes O(B²) in one AQE-unsplittable bucket. Oversized buckets
+# are exact-duplicate clusters in practice, so the star (still
+# exact-Jaccard-verified) preserves the connected component that
+# downstream dedup grouping consumes; only the full clique's pair list is
+# traded away, and only above the cap.
+HOT_BUCKET_CAP = 1024
 
 
 # -- exact dedup --------------------------------------------------------------
@@ -111,6 +123,72 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
 
 
+def _guarded_band_candidates(banded: DataFrame, join_keys: list[str], cap: int) -> DataFrame:
+    """Candidate pairs from a (doc_id, *join_keys) band table with the
+    hot-bucket guard (see HOT_BUCKET_CAP). One window over the join keys
+    tags every row with its bucket size and the bucket's min doc_id; the
+    window's hash partitioning is exactly the self-join's required
+    distribution, so the guard adds no exchange beyond the one the join
+    needed anyway — buckets at or under ``cap`` self-join as before,
+    bigger ones emit (min_doc, member) star pairs, linear in the bucket."""
+    w = Window.partitionBy(*join_keys)
+    tagged = (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min("doc_id").over(w))
+        .cache()
+    )
+    normal = tagged.filter(F.col("_n") <= cap)
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for kcol in join_keys:
+        cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
+    clique = (
+        normal.alias("a")
+        .join(normal.alias("b"), cond)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    star = tagged.filter(
+        (F.col("_n") > cap) & (F.col("doc_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    return clique.unionByName(star).dropDuplicates(["id_a", "id_b"])
+
+
+def hot_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: Callable[[Column], Column] | None = None,
+    cap: int = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Diversion visibility: one row per OVER-CAP band bucket
+    (band_id, band_key, n_docs). Run this alongside a dedup pass to report
+    how much of the corpus took the star path — silent diversion would
+    read as full pair coverage when it isn't."""
+    rows = num_hashes // bands
+    sig_hash = hash_fn or portable_hash
+    sh = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_col(text_col, k).alias("shingles"),
+    )
+    sig_df = sh.select(
+        "doc_id",
+        minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=sig_hash).alias("sig"),
+    )
+    banded = sig_df.select(
+        "doc_id",
+        F.posexplode(band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    return (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -120,13 +198,17 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn: Callable[[Column], Column] | None = None,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     shingle → minhash → band → bucket self-join → exact-Jaccard verify.
 
     ``hash_fn=None`` → oracle-exact ``portable_hash`` + md5 band keys;
     pass ``F.xxhash64`` for the production path (same plan, ~order of
-    magnitude cheaper signatures, long band keys)."""
+    magnitude cheaper signatures, long band keys). Band buckets larger
+    than ``hot_bucket_cap`` take the linear star path instead of the
+    quadratic self-join (see HOT_BUCKET_CAP; ``hot_bucket_stats`` reports
+    the diverted buckets)."""
     rows = num_hashes // bands
     sig_hash = hash_fn or portable_hash
     # CPU-bound per-row stage: spread it over all cores even when the
@@ -150,26 +232,16 @@ def minhash_dedup_pairs(
         ),
     )
     # band table carries ONLY (doc_id, band_id, band_key): the self-join
-    # shuffles 3 narrow columns, never the shingle arrays. Cached, because
-    # a self-join evaluates its plan once PER SIDE — without the cache the
-    # signature build (the expensive stage) runs twice.
+    # shuffles 3 narrow columns, never the shingle arrays. (The guard
+    # caches the windowed band table, so the signature build — the
+    # expensive stage — still runs once, not once per self-join side.)
     banded = sig_df.select(
         "doc_id",
         F.posexplode(band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)).alias(
             "band_id", "band_key"
         ),
-    ).cache()
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    cand = _guarded_band_candidates(banded, ["band_id", "band_key"], hot_bucket_cap)
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
@@ -277,23 +349,17 @@ def minhash_pairs_from_tables(
     spark,
     name_prefix: str,
     threshold: float = 0.5,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs from the pre-bucketed tables written by
     ``write_minhash_tables``. The candidate self-join and both verify joins
     run exchange-free on the bucket layout (plan-asserted in
-    test_plan_quality) — at 10^10 docs the only shuffle left is the
+    test_plan_quality) — the hot-bucket guard's window partitions by
+    band_key, which the bucketing already provides, so the guard stays
+    exchange-free too; at 10^10 docs the only shuffle left is the
     candidate-pair dropDuplicates."""
     banded = spark.table(f"{name_prefix}_bands")
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _guarded_band_candidates(banded, ["band_key"], hot_bucket_cap)
     sh = spark.table(f"{name_prefix}_shingles")
     return (
         cand.join(

@@ -73,12 +73,18 @@ def dedup_lines_corpus(
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
     totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # anchor on the INPUT id set, not the exploded stream: a document whose
+    # text is empty/whitespace-only explodes to zero lines and would vanish
+    # from both aggregates — it must come back as (n_lines=0, text_clean='')
+    # so downstream doc counts and length gates see it explicitly
     return (
-        totals.join(reassembled, id_col, "left")
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
         .select(
             id_col,
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            "n_lines",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         )
     )

@@ -24,6 +24,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _shard_nparts(
+    parallelism: int, n_rows_hint: int | None, partition_rows: int
+) -> int:
+    """Range-partition count for ``pack_shards``: at least the session's
+    parallelism (keep every core busy on small inputs), scaled up to
+    ~``partition_rows`` rows per partition when the caller supplies a row
+    hint — a 10-billion-doc corpus with the default 1M rows/partition runs
+    ~10k balanced range tasks and a ~10k-entry offset map. Capped at 32768
+    (the offset map is a literal expression; it must stay
+    codegen-friendly)."""
+    base = max(2, parallelism)
+    if n_rows_hint is not None and n_rows_hint > 0:
+        base = max(base, -(-n_rows_hint // max(1, partition_rows)))
+    return max(2, min(32_768, base))
+
+
 def pack_shards(
     df: DataFrame,
     key: str,
@@ -31,17 +47,25 @@ def pack_shards(
     budget: int,
     shard_col: str = "shard_id",
     partition_rows: int = 1_000_000,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Add ``shard_col`` = floor(exclusive running token sum / budget) in
     ``key`` order. Returns the input columns + shard_col + ``tokens_before``
     (the exclusive prefix sum — useful for in-shard offsets downstream).
 
-    ``partition_rows`` sizes the range partitions; with the default one
-    million rows/partition a 10-billion-document corpus runs ~10k balanced
-    range tasks and a 10k-entry offset map — both trivially fine."""
+    ``n_rows_hint`` (an estimate is fine — callers usually have an exact
+    count from the upstream manifest) together with ``partition_rows``
+    sizes the range partitions so they track data volume instead of core
+    count; without a hint the partition count falls back to the session's
+    parallelism, which is right for interactive-scale inputs but
+    undersized for a 10B-row corpus — pass the hint there."""
     nparts = 32
     try:
-        nparts = max(2, min(4096, df.sparkSession.sparkContext.defaultParallelism))
+        nparts = _shard_nparts(
+            df.sparkSession.sparkContext.defaultParallelism,
+            n_rows_hint,
+            partition_rows,
+        )
     except Exception:
         pass
     srt = (

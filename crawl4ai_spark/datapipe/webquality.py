@@ -18,12 +18,12 @@ corpus-sized.
 
 Documented divergences from the papers (kept deliberately, both engines
 compute the same value):
-- top_ngram_frac counts the TOKEN fraction covered by the most frequent
-  word n-gram (count·n / n_words), not the paper's character fraction —
-  the argmax gram's char length would need an argmax over arrays, and the
-  token form is the same signal.
 - stop-word gate counts distinct hits from the paper's 8-word list
   ("the, be, to, of, and, that, have, with"); the paper requires ≥ 2.
+(The quality gate's top-2-gram screen uses the paper-exact CHARACTER
+fraction — ``top_ngram_char_frac_col``, the same machinery as the full
+repetition suite; the legacy token-fraction form survives only as the
+explicitly-named ``top_ngram_token_frac_col`` for callers that want it.)
 """
 
 from __future__ import annotations
@@ -127,10 +127,11 @@ def dup_line_char_frac_col(text: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_ngram_frac_col(text: Column | str, n: int = 2) -> Column:
+def top_ngram_token_frac_col(text: Column | str, n: int = 2) -> Column:
     """Token fraction covered by the most frequent word n-gram:
-    max_count · n / n_words (see module docstring for the divergence from
-    the paper's char-based form). O(G²) in grams-per-document."""
+    max_count · n / n_words — a legacy alternative to the paper's
+    char-based form (``top_ngram_char_frac_col``, which ``gopher_metrics``
+    uses). O(G²) in grams-per-document."""
     ws = F.transform(words_col(text), F.lower)
     n_w = F.size(ws)
     grams = F.transform(
@@ -160,8 +161,67 @@ def gopher_metrics(text: Column | str) -> Column:
         stopword_types_col(c).alias("stopword_types"),
         F.round(dup_line_frac_col(c), 6).alias("dup_line_frac"),
         F.round(dup_line_char_frac_col(c), 6).alias("dup_line_char_frac"),
-        F.round(top_ngram_frac_col(c, 2), 6).alias("top_2gram_frac"),
+        # paper-exact char fraction (Table A1 row 12), shared with the
+        # full repetition suite below
+        F.round(top_ngram_char_frac_col(c, 2), 6).alias("top_2gram_frac"),
     )
+
+
+def gopher_metrics_frame(df, text_col: str, struct_col: str = "m"):
+    """Staged equivalent of ``select(gopher_metrics(text_col))``: the word /
+    lowered-word / line / 2-gram arrays are materialized as real columns
+    first so each is computed once per row. The single-Column
+    ``gopher_metrics`` inlines the tokenization into every metric lambda,
+    which Catalyst neither de-duplicates across lambda boundaries nor
+    codegens compactly (same pathology, and same fix, as
+    ``gopher_repetition_frame``). Still shuffle-free — a chain of per-row
+    projections. Returns ``df`` + one struct column with the exact
+    ``gopher_metrics`` fields."""
+    c = F.col(text_col)
+    staged = (
+        df.withColumn("_gw", words_col(c))
+        .withColumn("_gwl", F.transform(F.col("_gw"), F.lower))
+        .withColumn("_gls", lines_col(c))
+        .withColumn("_gtot", _token_chars(F.col("_gwl")))
+        .withColumn("_gg2", grams_guarded_col(F.col("_gwl"), 2))
+    )
+    gw, gwl, gls = F.col("_gw"), F.col("_gwl"), F.col("_gls")
+    n = F.size(gw)
+    nd = n.cast("double")
+    word_chars = F.aggregate(
+        gw, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0)))
+    alpha_hits = F.size(F.filter(gw, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    out = staged.withColumn(
+        struct_col,
+        F.struct(
+            n.cast("long").alias("n_words"),
+            F.round(
+                F.when(n > 0, word_chars.cast("double") / nd).otherwise(F.lit(0.0)), 6
+            ).alias("mean_word_len"),
+            F.round(
+                F.when(n > 0, (hashes + ellipses).cast("double") / nd).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("symbol_word_ratio"),
+            F.round(
+                F.when(n > 0, alpha_hits.cast("double") / nd).otherwise(F.lit(0.0)), 6
+            ).alias("alpha_word_ratio"),
+            F.size(F.filter(stops, lambda s: F.array_contains(gwl, s)))
+            .cast("long")
+            .alias("stopword_types"),
+            F.round(dup_frac_from_parts(gls), 6).alias("dup_line_frac"),
+            F.round(dup_char_frac_from_parts(gls), 6).alias("dup_line_char_frac"),
+            F.round(
+                _top_frac_from_grams(F.col("_gg2"), F.col("_gtot"), 2), 6
+            ).alias("top_2gram_frac"),
+        ),
+    )
+    return out.drop("_gw", "_gwl", "_gls", "_gtot", "_gg2")
 
 
 def gopher_gate_col(

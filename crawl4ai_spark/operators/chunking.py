@@ -38,6 +38,86 @@ def _words(text: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
+# Frequent English abbreviations that do NOT end a sentence when followed
+# by a period — the rule-based core of punkt's learned abbreviation set
+# (Kiss & Strunk 2006; the nltk-trained parameters themselves are not
+# reproducible without the model, see sentence_chunks_punkt_col).
+PUNKT_ABBREVS = [
+    "mr", "mrs", "ms", "dr", "prof", "rev", "fr", "sr", "jr", "st", "ave",
+    "blvd", "rd", "mt", "no", "vol", "fig", "al", "etc", "vs", "cf", "ca",
+    "approx", "dept", "est", "inc", "ltd", "co", "corp", "gen", "col",
+    "lt", "sgt", "capt", "maj", "adm", "hon", "gov", "pres", "sec",
+    "univ", "assn", "bros", "jan", "feb", "mar", "apr", "jun", "jul",
+    "aug", "sep", "sept", "oct", "nov", "dec", "e.g", "i.e", "a.m", "p.m",
+    "u.s", "u.k", "ph.d", "m.d", "b.a", "m.a", "d.c",
+]
+
+_CLOSERS = "[\"'’”)\\]»]"
+
+
+def sentence_chunks_punkt_col(text: Column | str) -> Column:
+    """Punkt-style sentence chunks (reference NlpSentenceChunking,
+    chunking_strategy.py:62-100, which calls nltk ``sent_tokenize`` and
+    returns ``list(set(...))``). nltk and its trained punkt model are not
+    installed here and the learned parameters aren't reproducible without
+    them, so this is the documented rule-based restatement of punkt's
+    published behavior (Kiss & Strunk 2006):
+
+    - a sentence ends at a token whose core ends in ``.``/``!``/``?``
+      (closing quotes/brackets may follow the terminator);
+    - a ``.`` does NOT end a sentence after a known abbreviation
+      (PUNKT_ABBREVS), a single initial (``J.``), or a dotted
+      multi-initialism (``U.S.A.``), and not when the next token starts
+      lowercase (punkt's orthographic sentence-starter heuristic);
+    - ``!``/``?`` always end a sentence;
+    - the reference's ``set()`` is determinized to first-occurrence-order
+      distinct; internal whitespace is squashed to single spaces (the
+      token-join normalization every operator here shares).
+
+    Pure Catalyst (array lambdas over whitespace tokens) — shuffle-free,
+    with an exact DuckDB twin in the contract's ``chunking`` oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = _words(c)
+    n = F.size(toks)
+    abbrevs = F.array(*[F.lit(a) for a in PUNKT_ABBREVS])
+
+    def _is_break(i: Column) -> Column:
+        t = F.element_at(toks, i)
+        nxt = F.try_element_at(toks, i + F.lit(1))  # null past the end
+        core = F.regexp_replace(t, _CLOSERS + "+$", "")
+        ends_term = core.rlike(r"[.!?]$")
+        ends_bang = core.rlike(r"[!?]$")
+        word = F.lower(F.regexp_replace(core, r"\.+$", ""))
+        is_abbrev = (
+            F.array_contains(abbrevs, word)
+            | word.rlike(r"^[a-z]$")  # single initial: "J."
+            | core.rlike(r"^([A-Za-z]\.){2,}$")  # "U.S.A."
+        )
+        nxt_ok = nxt.isNull() | nxt.rlike("^[\"'‘“(\\[«]?[A-Z0-9]")
+        return ends_term & (ends_bang | (~is_abbrev & nxt_ok))
+
+    idx = F.sequence(F.lit(1), F.when(n > 0, n).otherwise(F.lit(1)))
+    breaks = F.filter(idx, _is_break)
+    # a trailing fragment with no terminator is still a sentence
+    bounded = F.when(
+        (F.size(breaks) == 0) | (F.try_element_at(breaks, F.lit(-1)) != n),
+        F.concat(breaks, F.array(n)),
+    ).otherwise(breaks)
+    sents = F.transform(
+        bounded,
+        lambda b, j: F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                F.when(j == 0, F.lit(0)).otherwise(F.element_at(bounded, j)) + 1,
+                b - F.when(j == 0, F.lit(0)).otherwise(F.element_at(bounded, j)),
+            ),
+        ),
+    )
+    deduped = F.array_distinct(F.filter(sents, lambda s: s != ""))
+    return F.when(n > 0, deduped).otherwise(F.array().cast("array<string>"))
+
+
 def fixed_window_chunks_col(text: Column | str, chunk_size: int = 100) -> Column:
     """Non-overlapping word windows of ``chunk_size``."""
     w = _words(text)

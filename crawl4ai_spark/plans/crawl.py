@@ -100,6 +100,10 @@ class CrawlConfig:
     filter_conditions: list = field(default_factory=list)
     # scorer: callable(url Column) -> score Column; default 0.0 (BFS order)
     scorer: Callable | None = None
+    # the caller guarantees the pages table has ONE capture per url —
+    # skips the per-iteration latest-capture aggregate on the fetch slice
+    # (multi-capture WARC corpora must leave this False)
+    pages_unique: bool = False
     # adaptive politeness (P2): per-host budget = floor(iteration_window /
     # current_delay), delays evolving per the deterministic RateLimiter
     # variant (429/503 ⇒ ×2 clamped at max_delay; success ⇒ ×0.75 floored)
@@ -352,6 +356,25 @@ class CrawlRun:
         if ub_selected <= cfg.broadcast_frontier_max:
             probe = F.broadcast(probe)
         relevant = self.pages.join(probe, on="url", how="left_semi")
+        #    The pages table is caller-supplied and may hold SEVERAL
+        #    captures per URL (normal in WARC corpora). The left join must
+        #    stay 1:1 per selected URL — a fan-out here inflates
+        #    n_results/n_selected, drives n_deferred negative, and writes
+        #    corrupt counters into the manifest (which frontier_empty
+        #    termination and broadcast sizing read). Collapse the
+        #    semi-joined slice (small — bounded by the iteration budget ×
+        #    captures-per-url) to the latest capture per url; the full-row
+        #    lexicographic max breaks warc_ts ties deterministically.
+        #    ``pages_unique=True`` skips the aggregate when the caller
+        #    guarantees one capture per url.
+        if not cfg.pages_unique:
+            pcols = [c for c in relevant.columns if c != "url"]
+            ordered = [c for c in pcols if c == "warc_ts"] + [
+                c for c in pcols if c != "warc_ts"
+            ]
+            relevant = relevant.groupBy("url").agg(
+                F.max(F.struct(*ordered)).alias("_cap")
+            ).select("url", *[F.col(f"_cap.{c}").alias(c) for c in pcols])
         fetched = allowed.join(relevant, on="url", how="left")
         # the broadcast-join output keeps the pages table's partitioning, so
         # the extract UDF is already wide; an explicit repartition (a full
@@ -450,13 +473,16 @@ class CrawlRun:
             # touches DomainState on request, idle hosts keep their delay)
             hit = base_state.join(hosts_now, "host", "left_semi")
             idle = base_state.join(hosts_now, "host", "left_anti")
+            # built here, committed in the step-7 concurrent pool — a
+            # synchronous replace would add one serial job per iteration
             new_state = evolve_host_state(
                 hit,
                 results.select("host", "status_code"),
                 max_delay=cfg.max_delay,
                 base_delay=cfg.base_delay,
             ).unionByName(idle)
-            self.t_host_state.replace(new_state.coalesce(1), {"iteration": iteration})
+        else:
+            new_state = None
 
         # 5. link discovery
         discovered = (
@@ -580,6 +606,15 @@ class CrawlRun:
             return max(1, min(32, n // 50_000 + 1))
 
         n_deferred = n_frontier - n_selected
+        # the fetch slice is deduped to 1 row/url (pages_unique contract),
+        # so every selected row becomes exactly one result row; a negative
+        # here means the manifest counters are about to corrupt — fail loud
+        # before committing anything
+        assert n_deferred >= 0, (
+            f"fetch fan-out: n_results={n_results} exceeds "
+            f"n_frontier={n_frontier} — pages table has duplicate urls "
+            "but pages_unique=True was set?"
+        )
         if n_deferred == 0:
             # the whole frontier was selected (the common steady state under
             # a generous budget) — nothing is deferred, so the next frontier
@@ -605,7 +640,7 @@ class CrawlRun:
         # concurrently so the commit wall time is the slowest write, not
         # the sum. (On a cluster these are three Iceberg commits — equally
         # independent.)
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(
                     self.t_results.append,
@@ -626,6 +661,17 @@ class CrawlRun:
                     },
                 ),
             ]
+            if new_state is not None:
+                # fourth independent table; host count is bounded by the
+                # distinct hosts ever seen, so size the files like the
+                # other writes instead of a fixed single-task coalesce
+                futs.append(
+                    pool.submit(
+                        self.t_host_state.replace,
+                        new_state.coalesce(_parts(st["n_seen"] + n_results)),
+                        {"iteration": iteration},
+                    )
+                )
             for f in futs:
                 f.result()
         t = _lap("commit", t)

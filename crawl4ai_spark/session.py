@@ -18,6 +18,14 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _warehouse_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if env:
+        return env
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    return os.path.join(tempfile.gettempdir(), f"c4ai_spark_warehouse_{uid}")
+
+
 def get_spark(
     app_name: str = "crawl4ai_spark",
     cores: int | None = None,
@@ -54,11 +62,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128MB")
         .config("spark.sql.session.timeZone", "UTC")
         # bucketed-table writes (datapipe.dedup.write_minhash_tables) land
-        # in the warehouse; keep it out of the source tree
-        .config(
-            "spark.sql.warehouse.dir",
-            os.path.join(tempfile.gettempdir(), "c4ai_spark_warehouse"),
-        )
+        # in the warehouse; keep it out of the source tree. Namespaced per
+        # UID (two users on one host must not rmtree each other's bucketed
+        # tables via _drop_table) and overridable via SPARK_GRAFT_WAREHOUSE
+        # for side-by-side runs of the SAME user (e.g. two CI jobs) —
+        # deliberately NOT a per-process mkdtemp: the bucketed MinHash
+        # tables exist to be amortized across sessions.
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

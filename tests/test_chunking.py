@@ -85,3 +85,38 @@ def test_overlapping_advice_case(spark):
     assert len(row.c) == 2
     assert row.c[0] == " ".join(f"w{i}" for i in range(30))
     assert row.c[1] == " ".join(f"w{i}" for i in range(20, 45))
+
+def test_punkt_sentence_chunks_reference_behavior(spark):
+    """Punkt-style splitter vs transcribed nltk sent_tokenize behavior on
+    whitespace-normalized text (the nltk doc example plus the abbreviation
+    / initial / decimal / quote cases punkt is known for; reference
+    NlpSentenceChunking returns list(set(...)) — determinized here to
+    first-occurrence-order distinct)."""
+    from crawl4ai_spark.operators.chunking import sentence_chunks_punkt_col
+
+    cases = [
+        ("Good muffins cost $3.88 in New York. Please buy me two of them. Thanks.",
+         ["Good muffins cost $3.88 in New York.", "Please buy me two of them.",
+          "Thanks."]),
+        ("Mr. Smith went to Washington. He bought 3.5 kg of apples, e.g. red ones. Dr. No was there.",
+         ["Mr. Smith went to Washington.",
+          "He bought 3.5 kg of apples, e.g. red ones.", "Dr. No was there."]),
+        ("Is this it? Yes! No trailing terminator here",
+         ["Is this it?", "Yes!", "No trailing terminator here"]),
+        ("The U.S.A. is large. J. Doe agrees.",
+         ["The U.S.A. is large.", "J. Doe agrees."]),
+        ("One. One. Two.", ["One.", "Two."]),  # the reference's set()
+        ("", []),
+        ("word", ["word"]),
+        ('He said "Stop." Then left. (Really.) Done.',
+         ['He said "Stop."', "Then left.", "(Really.)", "Done."]),
+        ("See Fig. 3 for details. The end.",
+         ["See Fig. 3 for details.", "The end."]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {r.i: list(r.s) for r in
+           df.select("i", sentence_chunks_punkt_col("t").alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]} != {want}"

@@ -308,3 +308,47 @@ def test_kb_export_import_roundtrip(spark, pages, tmp_path):
     got = {r.url: r.content for r in back.collect() if r.success}
     want = {r.url: r.raw_markdown for r in ok.select("url", "raw_markdown").collect()}
     assert got == want
+
+
+def test_multi_capture_pages_fetch_latest_and_counters_sane(spark, pages):
+    """A WARC-style corpus with several captures per URL must not fan out
+    the fetch join: one result row per selected URL (the latest capture by
+    warc_ts), manifest counters consistent, n_deferred never negative."""
+    import datetime as _dt
+
+    old = pages.withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 DAY")
+    ).withColumn("html", F.encode(F.lit("<html><body>stale</body></html>"), "UTF-8"))
+    dup_pages = pages.unionByName(old).unionByName(
+        old.withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 2 DAY"))
+    )
+    run = CrawlRun(
+        spark,
+        dup_pages,
+        build_robots(spark),
+        build_seeds(spark, 3),
+        tempfile.mkdtemp(prefix="c4ai_dup_"),
+        CrawlConfig(mode="bfs", max_pages=30, max_depth=2, host_budget=5),
+    )
+    stats = run.run(max_iterations=3)
+    res = run.results()
+    # 1:1 — no URL appears twice in the results
+    per_url = res.groupBy("url").count().filter(F.col("count") > 1).count()
+    assert per_url == 0
+    # the latest capture won: no 'stale' body ever extracted
+    assert res.filter(F.col("text").contains("stale")).count() == 0
+    # counters arithmetically sane across iterations
+    for s in stats:
+        if not s.get("done"):
+            assert s["selected"] >= s["fetched"]
+    # and identical visit set to the clean single-capture corpus
+    clean = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3),
+        tempfile.mkdtemp(prefix="c4ai_clean_"),
+        CrawlConfig(mode="bfs", max_pages=30, max_depth=2, host_budget=5),
+    )
+    clean.run(max_iterations=3)
+    got = {(r.url, r.visit_order) for r in res.select("url", "visit_order").collect()}
+    want = {(r.url, r.visit_order)
+            for r in clean.results().select("url", "visit_order").collect()}
+    assert got == want

@@ -303,3 +303,80 @@ def test_mix_sources_probabilities_and_determinism(spark):
     none = mix_sources(df, "doc_id", "source", {"small": 1.0}, total=10,
                        salt="t", portable=True)
     assert none.filter(F.col("source") == "big").count() == 0
+
+
+# -- LSH hot-bucket guard -----------------------------------------------------
+
+
+def test_minhash_hot_bucket_guard_diverts_to_star(spark):
+    """A degenerate bucket (many identical docs) above the cap must emit
+    linear star pairs (min doc_id ↔ member), not the quadratic clique —
+    and every star pair still verifies at jaccard 1.0."""
+    from crawl4ai_spark.datapipe.dedup import hot_bucket_stats, minhash_dedup_pairs
+
+    same = "identical boilerplate page text repeated across the corpus " * 2
+    rows = [(i, same) for i in range(40)] + [
+        (100, "a genuinely different document about spark shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", hot_bucket_cap=10).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # star shape: 39 pairs, every one anchored at the representative (0)
+    assert got == {(0, i) for i in range(1, 40)}
+    assert all(r.jaccard == 1.0 for r in pairs)
+    # and the diversion is visible, not silent
+    hot = hot_bucket_stats(df, "doc_id", "text", cap=10).collect()
+    assert hot and all(r.n_docs == 40 for r in hot)
+
+
+def test_minhash_hot_bucket_guard_no_op_below_cap(spark):
+    """On a corpus with no oversized bucket the guarded output is
+    pair-for-pair identical to the unguarded quadratic path."""
+    from crawl4ai_spark.datapipe.dedup import minhash_dedup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(1, base), (2, base.replace("alpha ", "", 1)),
+            (3, "completely different words entirely unrelated content " * 3),
+            (4, base.replace("kappa ", "", 1))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = {(r.id_a, r.id_b, r.jaccard)
+               for r in minhash_dedup_pairs(df, "doc_id", "text",
+                                            hot_bucket_cap=16).collect()}
+    unguarded = {(r.id_a, r.id_b, r.jaccard)
+                 for r in minhash_dedup_pairs(df, "doc_id", "text",
+                                              hot_bucket_cap=1 << 30).collect()}
+    assert guarded == unguarded and guarded
+
+
+def test_minhash_hot_bucket_guard_groups_stay_connected(spark):
+    """Star diversion must preserve the connected component the dedup
+    grouping consumes: one group, all members, same representative."""
+    from crawl4ai_spark.datapipe.components import minhash_dedup_groups
+
+    same = "identical boilerplate page text repeated across the corpus " * 2
+    rows = [(i, same) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = minhash_dedup_groups(df, "doc_id", "text", hot_bucket_cap=8)
+    got = {(r[0], r[1]) for r in groups.select("doc_id", "group_id").collect()}
+    assert got == {(i, 0) for i in range(30)}
+
+
+def test_bloom_staged_merge_matches_flat_merge(spark):
+    """The executor-side OR stage (wide inputs) must produce bit-identical
+    blooms to the direct driver merge, whatever the partitioning."""
+    from crawl4ai_spark.operators.seen import build_bloom
+
+    urls = spark.range(2_000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 37).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url_norm")
+    )
+    wide = build_bloom(urls.repartition(64), num_bits=1 << 16, merge_fanin=8)
+    narrow = build_bloom(urls.repartition(4), num_bits=1 << 16, merge_fanin=8)
+    assert (wide.bits == narrow.bits).all()
+    probe = urls.limit(50)
+    from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
+
+    hits = probe.select(
+        bloom_maybe_contains_col(spark, wide, F.col("url_norm")).alias("m")
+    ).collect()
+    assert all(r.m for r in hits)

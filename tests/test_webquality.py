@@ -233,3 +233,31 @@ def test_repetition_short_doc_guards(spark):
     assert rows[2]["top_2gram_char_frac"] == pytest.approx(
         (5 + 5) / 14, abs=1e-6
     )  # "three words" 2-gram: 10 of 14 token chars
+
+
+def test_shard_nparts_tracks_row_hint():
+    from crawl4ai_spark.datapipe.sharding import _shard_nparts
+
+    # no hint: session parallelism
+    assert _shard_nparts(32, None, 1_000_000) == 32
+    # hint below parallelism: cores still win (small input, keep cores busy)
+    assert _shard_nparts(32, 1_000, 1_000_000) == 32
+    # hint drives the count once it exceeds parallelism × partition_rows
+    assert _shard_nparts(32, 10_000_000_000, 1_000_000) == 10_000
+    assert _shard_nparts(32, 5_000_000, 1_000) == 5_000
+    # codegen-safety cap on the literal offset map
+    assert _shard_nparts(32, 10_000_000_000, 10) == 32_768
+
+
+def test_pack_shards_hint_does_not_change_output(spark):
+    from crawl4ai_spark.datapipe.sharding import pack_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    base = {(r.doc_id, r.shard_id, r.tokens_before)
+            for r in pack_shards(df, "doc_id", "n_tokens", budget=100).collect()}
+    hinted = {(r.doc_id, r.shard_id, r.tokens_before)
+              for r in pack_shards(df, "doc_id", "n_tokens", budget=100,
+                                   n_rows_hint=500, partition_rows=10).collect()}
+    assert base == hinted
