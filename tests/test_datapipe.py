@@ -380,3 +380,94 @@ def test_bloom_staged_merge_matches_flat_merge(spark):
         bloom_maybe_contains_col(spark, wide, F.col("url_norm")).alias("m")
     ).collect()
     assert all(r.m for r in hits)
+
+
+# -- full linkage-method surface for cosine clustering (T23) ------------------
+
+
+def _angle_vecs():
+    """Unit vectors at 0°/18°/36°/54°: neighbor cosine distance ≈ 0.0489,
+    end-to-end ≈ 0.412 — a chain that single linkage merges at t=0.1 but
+    complete/average/ward split 2+2."""
+    import math
+
+    return [
+        (i, [math.cos(math.radians(18 * i)), math.sin(math.radians(18 * i))])
+        for i in range(4)
+    ]
+
+
+def test_cosine_cluster_linkage_methods_differ_on_chain(spark):
+    from crawl4ai_spark.datapipe.similarity import cosine_cluster_linkage
+
+    df = spark.createDataFrame(_angle_vecs(), "vec_id long, embedding array<double>")
+    planes = [[1.0, 0.0]]  # all four vectors share one bucket
+    expect = {
+        "single": {0: 0, 1: 0, 2: 0, 3: 0},
+        "complete": {0: 0, 1: 0, 2: 2, 3: 2},
+        "average": {0: 0, 1: 0, 2: 2, 3: 2},
+        "ward": {0: 0, 1: 0, 2: 2, 3: 2},
+    }
+    for method, want in expect.items():
+        got = {
+            r.vec_id: r.cluster_label
+            for r in cosine_cluster_linkage(
+                df, planes, max_dist=0.1, linkage_method=method
+            ).collect()
+        }
+        assert got == want, f"{method}: {got}"
+
+
+def test_cosine_cluster_linkage_single_matches_components(spark, sf_dir):
+    """Differential gate: linkage_method='single' must produce exactly the
+    connected-components clustering the SQL-provable cosine_cluster
+    computes, on the real embeddings corpus with perturbation chains."""
+    from crawl4ai_spark.datapipe.similarity import (
+        cosine_cluster,
+        cosine_cluster_linkage,
+    )
+    from crawl4ai_spark.contract import _PLANES
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + 0.01),
+            F.transform(F.slice("embedding", 2, 63), lambda x: x.cast("double")),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    a = {(r.vec_id, r.cluster_label, r.cluster_size)
+         for r in cosine_cluster(corpus, _PLANES, max_dist=0.01).collect()}
+    b = {(r.vec_id, r.cluster_label, r.cluster_size)
+         for r in cosine_cluster_linkage(
+             corpus, _PLANES, max_dist=0.01, linkage_method="single"
+         ).collect()}
+    assert a == b and a
+
+
+def test_cosine_cluster_linkage_ward_handcase(spark):
+    """Ward merge order on a hand-computed 3-point case: two near points
+    and one distant point; at t below the Ward joint distance the pair
+    clusters and the far point stays a singleton."""
+    import math
+
+    from crawl4ai_spark.datapipe.similarity import cosine_cluster_linkage
+
+    pts = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(0.1), math.sin(0.1)]),      # d(0,1) ≈ 0.005
+        (2, [math.cos(1.2), math.sin(1.2)]),      # far from both
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster_label, r.cluster_size)
+        for r in cosine_cluster_linkage(
+            df, [[1.0, 0.0]], max_dist=0.05, linkage_method="ward"
+        ).collect()
+    }
+    assert out == {0: (0, 2), 1: (0, 2), 2: (2, 1)}
