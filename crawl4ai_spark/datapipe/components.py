@@ -8,17 +8,20 @@ CosineStrategy clusters one page in memory. At corpus scale the components
 step is the difference between dropping A~B and B~C as two independent
 pairs and correctly collapsing {A,B,C}.)
 
-Algorithm: iterative MIN-LABEL PROPAGATION on DataFrames — every node
-adopts the smallest label in its closed neighborhood; repeat until no
-label changes. Each round is one join + one groupBy (both on the node id),
-fully distributed; rounds needed = graph diameter. Near-duplicate graphs
-have tiny diameters (clusters are quasi-cliques — band-collision edges
-connect most members pairwise), so convergence takes a handful of rounds;
-the round cap guards against pathological chain graphs, for which the
-O(log n)-round large-star/small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) is the documented
-upgrade path. Every round localCheckpoints the label table: it truncates
-the exponentially-growing lineage AND decouples round n+1 from recomputing
+Two algorithms, same exact output (differential-tested):
+- MIN-LABEL PROPAGATION — every node adopts the smallest label in its
+  closed neighborhood; repeat until no label changes. One join + one
+  groupBy per round, rounds = graph diameter. Near-duplicate graphs have
+  tiny diameters (clusters are quasi-cliques — band-collision edges
+  connect most members pairwise), so this converges in a handful of
+  cheap rounds and is the first choice.
+- LARGE-STAR/SMALL-STAR CONTRACTION (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds on ANY
+  graph shape, including the pathological chains where propagation's
+  round cap trips. ``algorithm='auto'`` (the default) runs propagation
+  and falls back to the contraction on cap overrun.
+Every round localCheckpoints its state table: it truncates the
+exponentially-growing lineage AND decouples round n+1 from recomputing
 rounds 1..n.
 
 Determinism: labels are min node ids — independent of partitioning,
@@ -36,11 +39,38 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
-    min node id of the connected component. Raises if ``max_rounds`` label
-    rounds don't converge (diameter > max_rounds — see module docstring for
-    the contraction-algorithm upgrade path)."""
+    min node id of the connected component.
+
+    ``algorithm``:
+    - ``"label"`` — min-label propagation (below); rounds = graph diameter.
+    - ``"star"`` — large-star/small-star contraction
+      (``connected_components_star``); O(log n) rounds on ANY graph shape.
+    - ``"auto"`` (default) — label propagation, falling back to star
+      contraction if the diameter exceeds ``max_rounds`` (near-duplicate
+      graphs are quasi-cliques where label propagation converges in a
+      handful of cheaper rounds; pathological chain graphs — the case the
+      old code raised on — now complete via the contraction)."""
+    if algorithm == "star":
+        return connected_components_star(edges, src, dst)
+    try:
+        return _connected_components_label(edges, src, dst, max_rounds)
+    except RuntimeError:
+        if algorithm == "label":
+            raise
+        return connected_components_star(edges, src, dst)
+
+
+def _connected_components_label(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Min-label propagation; raises if ``max_rounds`` rounds don't
+    converge (diameter > max_rounds)."""
     # symmetrize once; self-contained node table
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -73,9 +103,90 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
-        "graph diameter exceeds the cap; raise max_rounds or switch to the "
-        "large-star/small-star contraction for chain-shaped graphs"
+        "graph diameter exceeds the cap; algorithm='auto' falls back to "
+        "connected_components_star for such chain-shaped graphs"
     )
+
+
+def _nbrs(e: DataFrame) -> DataFrame:
+    """Symmetrized neighbor view (u, v) of an edge set."""
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the scale path the
+    label-propagation docstring promises: converges in O(log n) rounds on
+    ANY graph, including chains, where min-label propagation needs
+    diameter rounds.
+
+    One round = large-star (every node links its strictly-larger
+    neighbors to the smallest node of its closed neighborhood) then
+    small-star (links its smaller-or-equal neighbors, and itself, to that
+    minimum). Each operation is one groupBy(min) + one join on the node
+    id — no skew beyond the component structure itself, and every round
+    localCheckpoints to truncate lineage. The fixed point is the
+    min-rooted star forest, so labels equal the component minima — the
+    exact same output as label propagation (differential-tested).
+
+    ``max_rounds`` = 64 is a 2^64-node backstop, not a tuning knob."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        schema = "node long, component long"
+        return e.sparkSession.createDataFrame([], schema)
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        nb = _nbrs(cur)
+        mins = nb.groupBy("u").agg(F.min("v").alias("_mv"))
+        m = F.least(F.col("_mv"), F.col("u"))
+        joined = nb.join(mins, "u").withColumn("_m", m)
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("_m").alias("v")
+            )
+        else:
+            kept = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("_m").alias("v")
+            )
+            selfs = joined.select("u", F.col("_m").alias("v"))
+            out = kept.unionByName(selfs)
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_rounds):
+        after = star(star(e, large=True), large=False)
+        changed = (
+            after.join(e, ["u", "v"], "left_anti")
+            .unionByName(e.join(after, ["u", "v"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        e = after
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("star contraction did not converge (impossible)")
+    # fixed point: e is (child, root) star edges with root = component min
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return children.unionByName(roots).distinct()
 
 
 def minhash_dedup_groups(

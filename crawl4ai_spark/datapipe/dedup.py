@@ -4,9 +4,13 @@ All Catalyst-native (higher-order array functions + hash joins). The scale
 path is the standard shingle→minhash→band→bucket-join pipeline:
 
 - signatures are computed per row with no shuffle;
-- the ONLY shuffle is the band-bucket self-join, which is an equi-join on
-  (band_id, band_key) — exactly what AQE handles, and the band key space is
-  uniform (md5), so no skew;
+- the ONLY shuffle is the band-bucket self-join, an equi-join on
+  (band_id, band_key). Hash-DISTINCT band keys are uniform, but the
+  band key VALUES are not: real web corpora carry huge sets of
+  byte-identical pages (empty, boilerplate) that all land in one bucket,
+  where the self-join would go quadratic — so buckets above
+  HOT_BUCKET_CAP are diverted to a linear star expansion (see the
+  constant below);
 - candidate pairs are then verified with the exact Jaccard, so LSH false
   positives never survive (false negatives are the usual LSH trade-off,
   tunable via bands×rows).

@@ -114,6 +114,9 @@ def build_bloom(
     out = BloomFilterSet(num_bits, num_hashes)
     for row in parts:
         out.bits |= np.frombuffer(row.bits, dtype=np.uint8)
+    # observability for the driver-traffic bound: with the merge stage,
+    # len(parts) ≤ merge_fanin no matter how many partitions the scan had
+    out.n_collected_bitsets = len(parts)
     return out
 
 

@@ -158,15 +158,53 @@ def test_connected_components_round_cap(spark):
 
     from crawl4ai_spark.datapipe.components import connected_components
 
-    # a 12-node path needs ~11 label rounds; cap at 3 must raise, not
-    # silently return partial labels
+    # a 12-node path needs ~11 label rounds; cap at 3 must raise under
+    # algorithm='label' (never silently return partial labels) ...
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=3)
-    full = connected_components(edges, max_rounds=25)
+        connected_components(edges, max_rounds=3, algorithm="label")
+    # ... while the default 'auto' falls back to star contraction and
+    # completes despite the cap
+    full = connected_components(edges, max_rounds=3)
     assert {r.component for r in full.collect()} == {0}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Differential gate: the large-star/small-star contraction labels
+    exactly as min-label propagation on a mixed graph (two merged
+    quasi-cliques, a chain, a star, isolated pairs)."""
+    from crawl4ai_spark.datapipe.components import (
+        _connected_components_label,
+        connected_components_star,
+    )
+
+    rows = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique 0-4
+        + [(4, 50), (50, 51), (51, 52)]                      # tail chain
+        + [(100, 101), (100, 102), (100, 103)]               # star
+        + [(200, 201)]
+    )
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    a = {(r.node, r.component)
+         for r in _connected_components_label(edges, max_rounds=25).collect()}
+    b = {(r.node, r.component)
+         for r in connected_components_star(edges).collect()}
+    assert a == b and a
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 60-node path (diameter 59) — the shape label propagation cannot
+    finish inside its cap — converges via contraction in O(log n) rounds
+    to the single component rooted at the minimum."""
+    from crawl4ai_spark.datapipe.components import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components_star(edges).collect()}
+    assert got == {i: 0 for i in range(61)}
 
 
 def test_minhash_dedup_groups_transitive(spark):
@@ -373,6 +411,10 @@ def test_bloom_staged_merge_matches_flat_merge(spark):
     wide = build_bloom(urls.repartition(64), num_bits=1 << 16, merge_fanin=8)
     narrow = build_bloom(urls.repartition(4), num_bits=1 << 16, merge_fanin=8)
     assert (wide.bits == narrow.bits).all()
+    # driver traffic stays flat as input partitions grow: the 64-partition
+    # build collects at most merge_fanin bitsets, not one per partition
+    assert wide.n_collected_bitsets <= 8
+    assert narrow.n_collected_bitsets <= 4
     probe = urls.limit(50)
     from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
 
