@@ -137,15 +137,23 @@ def connected_components_star(
     exact same output as label propagation (differential-tested).
 
     ``max_rounds`` = 64 is a 2^64-node backstop, not a tuning knob."""
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # every node appearing in edges — INCLUDING nodes whose only edge is a
+    # self-loop, which the contraction's u != v filter would drop but the
+    # label path keeps (the output contract is per-node, not per-edge)
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     if e.isEmpty():
-        schema = "node long, component long"
-        return e.sparkSession.createDataFrame([], schema)
+        return all_nodes.withColumn("component", F.col("node"))
 
     def star(cur: DataFrame, large: bool) -> DataFrame:
         nb = _nbrs(cur)
@@ -181,12 +189,14 @@ def connected_components_star(
             break
     else:
         raise RuntimeError("star contraction did not converge (impossible)")
-    # fixed point: e is (child, root) star edges with root = component min
+    # fixed point: e is (child, root) star edges with root = component min;
+    # left-join from the full node universe so self-loop-only nodes come
+    # back as their own singleton component
     children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    return (
+        all_nodes.join(children, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
-    return children.unionByName(roots).distinct()
 
 
 def minhash_dedup_groups(
@@ -204,9 +214,12 @@ def minhash_dedup_groups(
     connected components → (doc_id, group_id, group_size, is_representative)
     for EVERY input document (singletons keep their own id as group).
     ``is_representative`` = min-id member — the row a dedup pipeline keeps.
-    The pair stage's hot-bucket star diversion (dedup.HOT_BUCKET_CAP) is
-    exactly component-preserving here: a star reaches every member of the
-    diverted bucket, so group assignments are unchanged."""
+    The pair stage's hot-bucket star diversion (dedup.HOT_BUCKET_CAP)
+    preserves groups for identical-signature members of a diverted bucket
+    unconditionally (their star pairs verify at jaccard 1.0); NON-identical
+    members of the same oversized bucket keep only their rep-level star
+    edges, so cross-group clique links that would have verified are the
+    documented recall trade above the cap."""
     from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(

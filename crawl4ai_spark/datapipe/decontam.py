@@ -88,11 +88,13 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # no broadcast hint here — see the docstring: AQE broadcasts small hit
+    # tables at runtime, pathological ones degrade to a shuffle join
     return (
         corpus.withColumn(
             "n_grams", F.size(ngram_hash_col(text_col, n)).cast("long")
         )
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
         .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )

@@ -36,15 +36,16 @@ from pyspark.sql import functions as F
 from crawl4ai_spark.datapipe.textstats import fingerprint_col, portable_hash, tokens_col
 
 # LSH band buckets larger than this are DIVERTED from the quadratic
-# self-join to a linear star expansion (every member pairs with the
-# bucket's min doc_id only). A degenerate corpus — thousands of empty or
+# self-join to a linear two-layer star expansion (see
+# _guarded_band_candidates). A degenerate corpus — thousands of empty or
 # boilerplate-identical pages, which a 100 TB web crawl always contains —
 # otherwise lands them all in one band_key and the a.doc_id < b.doc_id
-# self-join goes O(B²) in one AQE-unsplittable bucket. Oversized buckets
-# are exact-duplicate clusters in practice, so the star (still
-# exact-Jaccard-verified) preserves the connected component that
-# downstream dedup grouping consumes; only the full clique's pair list is
-# traded away, and only above the cap.
+# self-join goes O(B²) in one AQE-unsplittable bucket. Identical-signature
+# members of a diverted bucket (the case that creates hot buckets) stay
+# connected unconditionally — their star pairs verify at jaccard 1.0;
+# what's traded away is only cross-group clique edges among NON-identical
+# members of the same oversized bucket, and only above the cap
+# (hot_bucket_stats reports the diverted buckets).
 HOT_BUCKET_CAP = 1024
 
 
@@ -127,20 +128,41 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
 
 
-def _guarded_band_candidates(banded: DataFrame, join_keys: list[str], cap: int) -> DataFrame:
-    """Candidate pairs from a (doc_id, *join_keys) band table with the
-    hot-bucket guard (see HOT_BUCKET_CAP). One window over the join keys
-    tags every row with its bucket size and the bucket's min doc_id; the
-    window's hash partitioning is exactly the self-join's required
-    distribution, so the guard adds no exchange beyond the one the join
-    needed anyway — buckets at or under ``cap`` self-join as before,
-    bigger ones emit (min_doc, member) star pairs, linear in the bucket."""
+def _guarded_band_candidates(
+    banded: DataFrame, join_keys: list[str], cap: int, cache: bool = True
+) -> DataFrame:
+    """Candidate pairs from a (doc_id, sig_fp, *join_keys) band table with
+    the hot-bucket guard (see HOT_BUCKET_CAP). One window pass over the
+    join keys tags every row with its bucket size, the bucket's min
+    doc_id, and the min doc_id of its exact-SIGNATURE group (sig_fp); the
+    windows' required distribution is satisfied by the self-join's hash
+    partitioning (and by the bucketed table layout), so the guard adds no
+    exchange beyond what the join needed anyway.
+
+    Buckets at or under ``cap`` self-join as before. Bigger ones emit two
+    linear star layers instead of the quadratic clique:
+    - (group_rep, member) within each identical-signature group — these
+      are the byte-identical/boilerplate docs that CREATE hot buckets,
+      and they verify at jaccard 1.0, so the downstream filter can never
+      disconnect them;
+    - (bucket_rep, group_rep) across the distinct signature groups —
+      these may fail the Jaccard verify (a band-collision outlier rep no
+      longer poisons the whole bucket), trading away only cross-group
+      clique edges among non-identical members of a diverted bucket (the
+      documented recall bound; ``hot_bucket_stats`` reports the buckets).
+
+    ``cache=False`` for pre-bucketed table inputs: re-reading a bucketed
+    scan is cheaper than pinning the whole band table in the block
+    manager."""
     w = Window.partitionBy(*join_keys)
+    wg = Window.partitionBy(*join_keys, "sig_fp")
     tagged = (
         banded.withColumn("_n", F.count(F.lit(1)).over(w))
         .withColumn("_rep", F.min("doc_id").over(w))
-        .cache()
+        .withColumn("_grp_rep", F.min("doc_id").over(wg))
     )
+    if cache:
+        tagged = tagged.cache()
     normal = tagged.filter(F.col("_n") <= cap)
     cond = F.col("a.doc_id") < F.col("b.doc_id")
     for kcol in join_keys:
@@ -150,10 +172,45 @@ def _guarded_band_candidates(banded: DataFrame, join_keys: list[str], cap: int) 
         .join(normal.alias("b"), cond)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    star = tagged.filter(
-        (F.col("_n") > cap) & (F.col("doc_id") != F.col("_rep"))
-    ).select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
-    return clique.unionByName(star).dropDuplicates(["id_a", "id_b"])
+    hot = tagged.filter(F.col("_n") > cap)
+    star_same_sig = hot.filter(F.col("doc_id") != F.col("_grp_rep")).select(
+        F.col("_grp_rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    star_reps = hot.filter(
+        (F.col("doc_id") == F.col("_grp_rep")) & (F.col("_grp_rep") != F.col("_rep"))
+    ).select(F.col("_rep").alias("id_a"), F.col("_grp_rep").alias("id_b"))
+    return (
+        clique.unionByName(star_same_sig)
+        .unionByName(star_reps)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _sig_fp_col(sig: Column) -> Column:
+    """Collision-resistant fingerprint of a full minhash signature array —
+    equal signatures ⇔ equal fingerprints (xxhash64 of the joined values);
+    distinct docs colliding here still pass through the exact-Jaccard
+    verify, so a fingerprint collision can never create a false pair."""
+    return F.xxhash64(F.concat_ws(",", F.transform(sig, lambda x: x.cast("string"))))
+
+
+def _banded_from_signatures(
+    sig_df: DataFrame,
+    bands: int,
+    rows: int,
+    hash_fn: Callable[[Column], Column] | None,
+) -> DataFrame:
+    """(doc_id, sig_fp, band_id, band_key) band table from a
+    (doc_id, sig) frame — the ONE construction minhash_dedup_pairs,
+    write_minhash_tables, and hot_bucket_stats all share, so a diagnostic
+    can never describe a different band table than the dedup ran."""
+    return sig_df.select(
+        "doc_id",
+        _sig_fp_col(F.col("sig")).alias("sig_fp"),
+        F.posexplode(band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)).alias(
+            "band_id", "band_key"
+        ),
+    )
 
 
 def hot_bucket_stats(
@@ -180,12 +237,7 @@ def hot_bucket_stats(
         "doc_id",
         minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=sig_hash).alias("sig"),
     )
-    banded = sig_df.select(
-        "doc_id",
-        F.posexplode(band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)).alias(
-            "band_id", "band_key"
-        ),
-    )
+    banded = _banded_from_signatures(sig_df, bands, rows, hash_fn)
     return (
         banded.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -235,16 +287,11 @@ def minhash_dedup_pairs(
             "sig"
         ),
     )
-    # band table carries ONLY (doc_id, band_id, band_key): the self-join
-    # shuffles 3 narrow columns, never the shingle arrays. (The guard
-    # caches the windowed band table, so the signature build — the
+    # band table carries ONLY (doc_id, sig_fp, band_id, band_key): the
+    # self-join shuffles 4 narrow columns, never the shingle arrays. (The
+    # guard caches the windowed band table, so the signature build — the
     # expensive stage — still runs once, not once per self-join side.)
-    banded = sig_df.select(
-        "doc_id",
-        F.posexplode(band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)).alias(
-            "band_id", "band_key"
-        ),
-    )
+    banded = _banded_from_signatures(sig_df, bands, rows, hash_fn)
     cand = _guarded_band_candidates(banded, ["band_id", "band_key"], hot_bucket_cap)
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
@@ -328,14 +375,12 @@ def write_minhash_tables(
             "sig"
         ),
     )
-    banded = sig_df.select(
+    # band_id FOLDED into the key (single-column bucketed equi-join);
+    # sig_fp rides along for the reader's hot-bucket guard
+    banded = _banded_from_signatures(sig_df, bands, rows, hash_fn).select(
         "doc_id",
-        F.posexplode(
-            band_keys_col(F.col("sig"), bands, rows, hash_fn=hash_fn)
-        ).alias("band_id", "raw_key"),
-    ).select(
-        "doc_id",
-        F.xxhash64(F.concat_ws(":", F.col("band_id"), F.col("raw_key"))).alias(
+        "sig_fp",
+        F.xxhash64(F.concat_ws(":", F.col("band_id"), F.col("band_key"))).alias(
             "band_key"
         ),
     )
@@ -361,9 +406,10 @@ def minhash_pairs_from_tables(
     test_plan_quality) — the hot-bucket guard's window partitions by
     band_key, which the bucketing already provides, so the guard stays
     exchange-free too; at 10^10 docs the only shuffle left is the
-    candidate-pair dropDuplicates."""
+    candidate-pair dropDuplicates. (No cache: the band table is already a
+    bucketed parquet scan — re-reading it is cheaper than pinning it.)"""
     banded = spark.table(f"{name_prefix}_bands")
-    cand = _guarded_band_candidates(banded, ["band_key"], hot_bucket_cap)
+    cand = _guarded_band_candidates(banded, ["band_key"], hot_bucket_cap, cache=False)
     sh = spark.table(f"{name_prefix}_shingles")
     return (
         cand.join(

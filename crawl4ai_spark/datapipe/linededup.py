@@ -38,7 +38,7 @@ def line_key_col(line):
 def explode_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, line_no, line, line_key) — non-empty trimmed lines with their
     0-based position among the non-empty lines."""
-    trimmed = F.transform(F.split(F.col(text_col), "\n"), F.trim)
+    trimmed = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
     nonempty = F.filter(trimmed, lambda l: l != "")
     return (
         df.select(id_col, F.posexplode(nonempty).alias("line_no", "line"))

@@ -52,7 +52,7 @@ def words_col(text: Column | str) -> Column:
 
 def lines_col(text: Column | str) -> Column:
     """Non-empty lines, whitespace-trimmed."""
-    trimmed = F.transform(F.split(_c(text), "\n"), F.trim)
+    trimmed = F.transform(F.split(_c(text), "\n"), lambda l: F.trim(l))
     return F.filter(trimmed, lambda l: l != "")
 
 
@@ -269,7 +269,7 @@ def gopher_gate_col(
 
 def paragraphs_col(text: Column | str) -> Column:
     """Non-empty whitespace-trimmed paragraphs (blank-line separated)."""
-    parts = F.transform(F.split(_c(text), r"\n{2,}"), F.trim)
+    parts = F.transform(F.split(_c(text), r"\n{2,}"), lambda p: F.trim(p))
     return F.filter(parts, lambda p: p != "")
 
 

@@ -30,7 +30,7 @@ def sentence_chunks_col(text: Column | str) -> Column:
     dropped."""
     c = F.col(text) if isinstance(text, str) else text
     sents = F.regexp_extract_all(c, F.lit(r"[^.!?]+(?:[.!?]+|$)"), F.lit(0))
-    return F.filter(F.transform(sents, F.trim), lambda s: s != "")
+    return F.filter(F.transform(sents, lambda s: F.trim(s)), lambda s: s != "")
 
 
 def _words(text: Column | str) -> Column:

@@ -609,12 +609,14 @@ class CrawlRun:
         # the fetch slice is deduped to 1 row/url (pages_unique contract),
         # so every selected row becomes exactly one result row; a negative
         # here means the manifest counters are about to corrupt — fail loud
-        # before committing anything
-        assert n_deferred >= 0, (
-            f"fetch fan-out: n_results={n_results} exceeds "
-            f"n_frontier={n_frontier} — pages table has duplicate urls "
-            "but pages_unique=True was set?"
-        )
+        # before committing anything (a real raise, not an assert: this
+        # guard must survive python -O)
+        if n_deferred < 0:
+            raise RuntimeError(
+                f"fetch fan-out: n_results={n_results} exceeds "
+                f"n_frontier={n_frontier} — pages table has duplicate urls "
+                "but pages_unique=True was set?"
+            )
         if n_deferred == 0:
             # the whole frontier was selected (the common steady state under
             # a generous budget) — nothing is deferred, so the next frontier

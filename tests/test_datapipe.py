@@ -273,19 +273,28 @@ def test_decontaminate_counts_distinct_shared_grams(spark):
     assert (row["n_grams"], row["n_hits"]) == (4, 2)
 
 
-def test_decontaminate_plan_broadcasts_both_small_sides(spark):
+def test_decontaminate_plan_broadcast_strategy(spark):
+    """The benchmark gram set is explicitly broadcast (always small); the
+    per-doc hit table deliberately carries NO broadcast hint — AQE
+    broadcasts it at runtime when small, and a pathologically contaminated
+    corpus degrades to a shuffle join instead of a forced driver OOM."""
     corpus = spark.createDataFrame(
         [(i, f"w{i} x y z q r s t") for i in range(50)], ["doc_id", "text"]
     )
     bench = spark.createDataFrame([("x y z q",)], ["text"])
     from crawl4ai_spark.datapipe.decontam import decontaminate
 
-    plan = (
-        decontaminate(corpus, bench, "doc_id", "text", n=3)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    # both joins broadcast; the corpus side is never exchanged on a key
-    assert plan.count("BroadcastHashJoin") == 2
+    out = decontaminate(corpus, bench, "doc_id", "text", n=3)
+    static = out._jdf.queryExecution().executedPlan().toString()
+    # the gram-probe join broadcasts statically (explicit hint)
+    assert static.count("BroadcastHashJoin") >= 1
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    # at runtime AQE sees the tiny hit table and broadcasts that join too
+    # (count only the final-plan section — the string also embeds the
+    # initial plan)
+    assert "isFinalPlan=true" in final
+    assert final.split("== Initial Plan ==")[0].count("BroadcastHashJoin") == 2
 
 
 # -- sequence packing + source mixing -----------------------------------------
@@ -513,3 +522,39 @@ def test_cosine_cluster_linkage_ward_handcase(spark):
         ).collect()
     }
     assert out == {0: (0, 2), 1: (0, 2), 2: (2, 1)}
+
+
+def test_guarded_band_candidates_two_layer_star(spark):
+    """Direct shape test of the hot-bucket guard: an over-cap bucket with
+    two identical-signature groups and an outlier min-id row must emit
+    (group_rep, member) stars within each signature group plus
+    (bucket_rep, group_rep) rep-level edges — never a member-member
+    clique, and never a raw (outlier, member) edge that would let a
+    failing outlier verify disconnect identical members."""
+    from crawl4ai_spark.datapipe.dedup import _guarded_band_candidates
+
+    rows = (
+        # bucket B: outlier doc 0 (own sig), group X = docs 1..5,
+        # group Y = docs 10..14  → 11 rows, cap 4 → hot
+        [(0, 999, 1, 7)]
+        + [(i, 111, 1, 7) for i in range(1, 6)]
+        + [(i, 222, 1, 7) for i in range(10, 15)]
+        # bucket C: small, self-joins as a clique
+        + [(20, 333, 1, 8), (21, 444, 1, 8)]
+    )
+    banded = spark.createDataFrame(
+        rows, "doc_id long, sig_fp long, band_id int, band_key long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in _guarded_band_candidates(
+            banded, ["band_id", "band_key"], cap=4
+        ).collect()
+    }
+    want = (
+        {(1, i) for i in range(2, 6)}          # group X star
+        | {(10, i) for i in range(11, 15)}     # group Y star
+        | {(0, 1), (0, 10)}                    # rep-level star
+        | {(20, 21)}                           # normal bucket clique
+    )
+    assert got == want

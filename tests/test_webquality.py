@@ -261,3 +261,22 @@ def test_pack_shards_hint_does_not_change_output(spark):
               for r in pack_shards(df, "doc_id", "n_tokens", budget=100,
                                    n_rows_hint=500, partition_rows=10).collect()}
     assert base == hinted
+
+
+def test_line_dedup_zero_line_doc_survives(spark):
+    """A document whose text is empty or whitespace-only explodes to zero
+    lines and must still come back as (n_lines=0, text_clean='') — the
+    exact case the input-anchored join exists for."""
+    from crawl4ai_spark.datapipe.linededup import dedup_lines_corpus
+
+    df = spark.createDataFrame(
+        [(1, "keep me.\nshared line"), (2, ""), (3, "   \n  \n"), (4, "shared line")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_lines, r.n_lines_kept, r.text_clean)
+           for r in dedup_lines_corpus(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2] == (0, 0, "")
+    assert out[3] == (0, 0, "")
+    assert out[4] == (1, 0, "")  # its only line first occurred in doc 1
+    assert out[1] == (2, 2, "keep me.\nshared line")
