@@ -137,7 +137,13 @@ def connected_components_star(
     exact same output as label propagation (differential-tested).
 
     ``max_rounds`` = 64 is a 2^64-node backstop, not a tuning knob."""
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the RAW edge stream once: both the node universe and the
+    # working edge set derive from it, and the upstream producer may be
+    # the whole shingle→minhash→band→verify pipeline — without this it
+    # would evaluate twice
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     # every node appearing in edges — INCLUDING nodes whose only edge is a
     # self-loop, which the contraction's u != v filter would drop but the
     # label path keeps (the output contract is per-node, not per-edge)
@@ -145,7 +151,6 @@ def connected_components_star(
         raw.select(F.col("u").alias("node"))
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))
@@ -215,11 +220,12 @@ def minhash_dedup_groups(
     for EVERY input document (singletons keep their own id as group).
     ``is_representative`` = min-id member — the row a dedup pipeline keeps.
     The pair stage's hot-bucket star diversion (dedup.HOT_BUCKET_CAP)
-    preserves groups for identical-signature members of a diverted bucket
-    unconditionally (their star pairs verify at jaccard 1.0); NON-identical
-    members of the same oversized bucket keep only their rep-level star
-    edges, so cross-group clique links that would have verified are the
-    documented recall trade above the cap."""
+    preserves groups for byte-identical members of a diverted bucket
+    (identical docs share a full signature; their star pairs verify at
+    jaccard 1.0); non-identical members of the same oversized bucket keep
+    only their rep-level star edges, so cross-group clique links that
+    would have verified — and full-signature colliders below threshold —
+    are the documented recall trade above the cap."""
     from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(

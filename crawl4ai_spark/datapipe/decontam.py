@@ -11,9 +11,13 @@ Scale shape (the part that must survive 100 TB):
 - corpus documents explode into (doc_id, gram_hash) only transiently
   inside the probe stage (whole-stage codegen keeps it pipelined), and
   only MATCHED rows survive into the tiny per-doc aggregate;
-- the per-doc hit counts are themselves small (bounded by the benchmark
-  set's footprint in the corpus), so they broadcast back onto the corpus
-  for the final flag — zero corpus-sized exchanges end to end.
+- the per-doc hit counts are USUALLY small (bounded by the benchmark
+  set's footprint in the corpus) and AQE broadcasts them back onto the
+  corpus at runtime — zero corpus-sized exchanges on the normal path.
+  On a heavily/adversarially contaminated corpus the hit table is
+  O(corpus), so its join strategy is deliberately NOT hinted: AQE then
+  degrades that one join to a shuffle instead of a forced-broadcast
+  driver OOM (see ``decontaminate``).
 
 Determinism: grams are lower-cased whitespace word windows hashed with
 textstats.portable_hash, so the exact same computation runs in DuckDB

@@ -40,12 +40,15 @@ from crawl4ai_spark.datapipe.textstats import fingerprint_col, portable_hash, to
 # _guarded_band_candidates). A degenerate corpus — thousands of empty or
 # boilerplate-identical pages, which a 100 TB web crawl always contains —
 # otherwise lands them all in one band_key and the a.doc_id < b.doc_id
-# self-join goes O(B²) in one AQE-unsplittable bucket. Identical-signature
-# members of a diverted bucket (the case that creates hot buckets) stay
-# connected unconditionally — their star pairs verify at jaccard 1.0;
-# what's traded away is only cross-group clique edges among NON-identical
-# members of the same oversized bucket, and only above the cap
-# (hot_bucket_stats reports the diverted buckets).
+# self-join goes O(B²) in one AQE-unsplittable bucket. Byte-identical
+# docs — the case that creates hot buckets — always share a full minhash
+# signature, so their within-group star pairs verify at jaccard 1.0 and
+# stay connected. (Two DISTINCT docs can collide on the full signature
+# with probability j^num_hashes and then fail the verify — that residual
+# false-negative rate is part of the standard LSH recall trade, not a new
+# failure mode.) What the diversion trades away is cross-group clique
+# edges among non-identical members of the same oversized bucket, and
+# only above the cap (hot_bucket_stats reports the diverted buckets).
 HOT_BUCKET_CAP = 1024
 
 
@@ -141,10 +144,12 @@ def _guarded_band_candidates(
 
     Buckets at or under ``cap`` self-join as before. Bigger ones emit two
     linear star layers instead of the quadratic clique:
-    - (group_rep, member) within each identical-signature group — these
-      are the byte-identical/boilerplate docs that CREATE hot buckets,
-      and they verify at jaccard 1.0, so the downstream filter can never
-      disconnect them;
+    - (group_rep, member) within each identical-signature group — the
+      byte-identical/boilerplate docs that CREATE hot buckets share a
+      full signature and verify at jaccard 1.0, so the downstream filter
+      keeps them connected (distinct docs colliding on the whole
+      signature — probability j^num_hashes — can still fail the verify;
+      that's the ordinary LSH recall trade);
     - (bucket_rep, group_rep) across the distinct signature groups —
       these may fail the Jaccard verify (a band-collision outlier rep no
       longer poisons the whole bucket), trading away only cross-group
@@ -156,7 +161,13 @@ def _guarded_band_candidates(
     once — measured 2.4× faster on the 100k bucketed-pairs bench than
     recomputing per branch, at the cost of a MEMORY_AND_DISK entry the
     size of the narrow 4-column band table (spills, never OOMs; pass
-    ``cache=False`` to trade time for zero block-manager footprint)."""
+    ``cache=False`` to trade time for zero block-manager footprint).
+    Like the shingle cache in ``minhash_dedup_pairs``, the entry lives
+    until the caller is done with the RETURNED (lazy) DataFrame — there
+    is no safe point inside this function to unpersist it; long-lived
+    sessions looping over many corpora should run
+    ``spark.catalog.clearCache()`` between corpora or pass
+    ``cache=False``."""
     w = Window.partitionBy(*join_keys)
     wg = Window.partitionBy(*join_keys, "sig_fp")
     tagged = (
@@ -409,8 +420,17 @@ def minhash_pairs_from_tables(
     test_plan_quality) — the hot-bucket guard's window partitions by
     band_key, which the bucketing already provides, so the guard stays
     exchange-free too; at 10^10 docs the only shuffle left is the
-    candidate-pair dropDuplicates."""
+    candidate-pair dropDuplicates.
+
+    Backward compatibility: band tables written before the guard carried
+    no ``sig_fp`` column — those degrade to ``sig_fp = doc_id``, i.e. the
+    single-layer star (every hot-bucket member links straight to the
+    bucket rep), instead of crashing the amortized-table workflow; rewrite
+    the tables with the current ``write_minhash_tables`` to get the
+    identical-signature layer."""
     banded = spark.table(f"{name_prefix}_bands")
+    if "sig_fp" not in banded.columns:
+        banded = banded.withColumn("sig_fp", F.col("doc_id"))
     cand = _guarded_band_candidates(banded, ["band_key"], hot_bucket_cap)
     sh = spark.table(f"{name_prefix}_shingles")
     return (

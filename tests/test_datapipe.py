@@ -558,3 +558,34 @@ def test_guarded_band_candidates_two_layer_star(spark):
         | {(20, 21)}                           # normal bucket clique
     )
     assert got == want
+
+
+def test_minhash_tables_without_sig_fp_still_readable(spark):
+    """Band tables persisted before the hot-bucket guard carried no sig_fp
+    column; the reader must degrade to the single-layer star (sig_fp =
+    doc_id) instead of crashing the amortized-table workflow."""
+    from crawl4ai_spark.datapipe.dedup import (
+        minhash_pairs_from_tables,
+        write_minhash_tables,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("alpha ", "", 1)),
+         (3, "completely different words entirely unrelated content " * 3)],
+        "doc_id long, text string",
+    )
+    write_minhash_tables(df, "doc_id", "text", "t_compat", hash_fn=F.xxhash64,
+                         buckets=2)
+    want = {(r.id_a, r.id_b) for r in
+            minhash_pairs_from_tables(spark, "t_compat").collect()}
+    # strip sig_fp to simulate a pre-guard table
+    legacy = spark.table("t_compat_bands").drop("sig_fp")
+    legacy.write.mode("overwrite").format("parquet").bucketBy(
+        2, "band_key").sortBy("band_key").saveAsTable("t_compat_legacy_bands")
+    spark.table("t_compat_shingles").write.mode("overwrite").format(
+        "parquet").bucketBy(2, "doc_id").sortBy("doc_id").saveAsTable(
+        "t_compat_legacy_shingles")
+    got = {(r.id_a, r.id_b) for r in
+           minhash_pairs_from_tables(spark, "t_compat_legacy").collect()}
+    assert got == want and (1, 2) in got
