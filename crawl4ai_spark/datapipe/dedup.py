@@ -132,7 +132,7 @@ def jaccard_col(a: Column, b: Column) -> Column:
 
 
 def _guarded_band_candidates(
-    banded: DataFrame, join_keys: list[str], cap: int, cache: bool = True
+    banded: DataFrame, join_keys: list[str], cap: int | None, cache: bool = True
 ) -> DataFrame:
     """Candidate pairs from a (doc_id, sig_fp, *join_keys) band table with
     the hot-bucket guard (see HOT_BUCKET_CAP). One window pass over the
@@ -167,7 +167,23 @@ def _guarded_band_candidates(
     is no safe point inside this function to unpersist it; long-lived
     sessions looping over many corpora should run
     ``spark.catalog.clearCache()`` between corpora or pass
-    ``cache=False``."""
+    ``cache=False``.
+
+    ``cap=None`` bypasses the guard entirely (no window pass, the plain
+    quadratic self-join) — for corpora the CALLER can bound well under
+    any degenerate-bucket size; the two window sorts cost ~1 s on a
+    1k-doc corpus, which is pure overhead there."""
+    if cap is None:
+        b = banded.cache() if cache else banded
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for kcol in join_keys:
+            cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
+        return (
+            b.alias("a")
+            .join(b.alias("b"), cond)
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     w = Window.partitionBy(*join_keys)
     wg = Window.partitionBy(*join_keys, "sig_fp")
     tagged = (
@@ -268,7 +284,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn: Callable[[Column], Column] | None = None,
-    hot_bucket_cap: int = HOT_BUCKET_CAP,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     shingle → minhash → band → bucket self-join → exact-Jaccard verify.
@@ -278,7 +294,8 @@ def minhash_dedup_pairs(
     magnitude cheaper signatures, long band keys). Band buckets larger
     than ``hot_bucket_cap`` take the linear star path instead of the
     quadratic self-join (see HOT_BUCKET_CAP; ``hot_bucket_stats`` reports
-    the diverted buckets)."""
+    the diverted buckets; ``hot_bucket_cap=None`` skips the guard for
+    corpora the caller can bound)."""
     rows = num_hashes // bands
     sig_hash = hash_fn or portable_hash
     # CPU-bound per-row stage: spread it over all cores even when the
@@ -412,7 +429,7 @@ def minhash_pairs_from_tables(
     spark,
     name_prefix: str,
     threshold: float = 0.5,
-    hot_bucket_cap: int = HOT_BUCKET_CAP,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs from the pre-bucketed tables written by
     ``write_minhash_tables``. The candidate self-join and both verify joins

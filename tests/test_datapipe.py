@@ -393,6 +393,12 @@ def test_minhash_hot_bucket_guard_no_op_below_cap(spark):
                  for r in minhash_dedup_pairs(df, "doc_id", "text",
                                               hot_bucket_cap=1 << 30).collect()}
     assert guarded == unguarded and guarded
+    # cap=None bypasses the guard windows entirely (the caller-bounded
+    # small-corpus fast path) — output must still be identical
+    bypassed = {(r.id_a, r.id_b, r.jaccard)
+                for r in minhash_dedup_pairs(df, "doc_id", "text",
+                                             hot_bucket_cap=None).collect()}
+    assert bypassed == guarded
 
 
 def test_minhash_hot_bucket_guard_groups_stay_connected(spark):
@@ -579,7 +585,13 @@ def test_minhash_tables_without_sig_fp_still_readable(spark):
                          buckets=2)
     want = {(r.id_a, r.id_b) for r in
             minhash_pairs_from_tables(spark, "t_compat").collect()}
-    # strip sig_fp to simulate a pre-guard table
+    # strip sig_fp to simulate a pre-guard table (drop any orphaned
+    # warehouse location from a previous test session first — same
+    # housekeeping write_minhash_tables does for its own tables)
+    from crawl4ai_spark.datapipe.dedup import _drop_table
+
+    for t in ("t_compat_legacy_bands", "t_compat_legacy_shingles"):
+        _drop_table(spark, t)
     legacy = spark.table("t_compat_bands").drop("sig_fp")
     legacy.write.mode("overwrite").format("parquet").bucketBy(
         2, "band_key").sortBy("band_key").saveAsTable("t_compat_legacy_bands")
