@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two plans, same semantics:
+Three plans, same semantics:
 
 - brute-force: broadcast the (small) query set, cross-score every corpus
   vector with Catalyst array expressions, per-query top-k window. At 100 TB
@@ -10,6 +10,11 @@ Two plans, same semantics:
   corpus; queries probe only their bucket. The bucket join is a hash
   equi-join on an int key — the scale path when queries are many. Buckets
   are precomputable/bucketable (write once, reuse per query batch).
+- IVF-flat: a deterministic sampled (optionally Lloyd-refined) coarse
+  quantizer bins the corpus; queries probe their ``nprobe`` nearest cells.
+  Same broadcast int-key join shape as LSH but with a tunable
+  recall/latency dial (nprobe) and data-adaptive partitions; at
+  nprobe ≥ n_cells it degrades gracefully to exact brute-force results.
 
 All arithmetic is double-precision with a final round(6) so results are
 value-identical in the DuckDB oracle. Hyperplanes derive from md5 (see
@@ -145,6 +150,176 @@ def ann_lsh_topk(
     # shed the vector columns BEFORE the window shuffle: the rank only
     # needs (query_id, id, cosine) — shuffling 64-float arrays per row
     # would double the exchange size for nothing
+    scored = scored.select(query_id_col, id_col, "cosine")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# -- IVF-flat: sampled coarse quantizer + nprobe cell probing ----------------
+
+
+def _cell_score(vd: Column, centroid: list[float]) -> Column:
+    """Centroid-affinity score for assignment/probing: dot(v, c)/|c| with
+    |c| folded in as a Python literal. Equals cosine × |v|, and |v| is
+    constant across the centroids being compared, so argmax and every tie
+    are identical to true cosine — without recomputing the row vector's
+    norm once per centroid (the reported scores still go through
+    ``cosine_col`` so every engine sees the same rounded values)."""
+    nc = sum(float(v) * float(v) for v in centroid) ** 0.5
+    if nc == 0.0:
+        return F.lit(0.0)
+    lit = F.array(*[F.lit(float(v) / nc) for v in centroid])
+    return dot_col(vd, lit)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+    train: DataFrame | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest ``xxhash64(id)`` seed the cells (layout-independent —
+    the same rows win however the corpus is partitioned), optionally
+    refined with ``iters`` rounds of Lloyd mean-updates.
+
+    Scale shape: seeding is one corpus scan feeding a global top-n_cells
+    sort of (hash, id) pairs — AQE handles the tiny ordered take; only
+    ``n_cells`` rows ever reach the driver. Each Lloyd round posexplodes
+    the training vectors to (cell, component, value) and mean-aggregates:
+    partial aggregation collapses every partition to ≤ n_cells × dim rows
+    BEFORE the exchange, so the shuffle is centroid-sized regardless of
+    corpus size. At 100 TB pass a hash-sampled frame as ``train`` (see
+    datapipe.sampling) — Lloyd on a sample is standard IVF practice; the
+    default trains on ``corpus`` itself, which is exact but pays the
+    posexplode CPU on every row.
+    """
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    if iters <= 0:
+        return cents
+    t = (train if train is not None else corpus).select(
+        _as_double(F.col(vec_col)).alias("_v")
+    )
+    for _ in range(iters):
+        assigned = t.withColumn("_cell", ivf_cell_col(F.col("_v"), cents))
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
+        # cells that captured no training vector keep their previous
+        # centroid (standard empty-cell handling, keeps cell ids stable)
+        cents = [
+            (
+                cid,
+                [d[p] for p in sorted(d)] if (d := by_cell.get(cid)) else prev,
+            )
+            for cid, prev in cents
+        ]
+    return cents
+
+
+def ivf_cell_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Cell assignment: argmax cosine over the literal centroid table,
+    ties to the smallest cell id. One ``greatest`` over per-centroid
+    structs — pure Catalyst, shuffle-free, so assignment rides the corpus
+    scan as a map-side projection."""
+    vd = _as_double(vec)
+    scored = [
+        F.struct(
+            _cell_score(vd, cvec).alias("cos"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, cvec in centroids
+    ]
+    best = scored[0] if len(scored) == 1 else F.greatest(*scored)
+    return (-best["neg_cid"]).cast("long")
+
+
+def ivf_probe_cells_col(
+    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """Array of the ``nprobe`` nearest cell ids for a query vector
+    (cosine-descending, ties to the larger id — probing order does not
+    affect results, only which cells are visited)."""
+    vd = _as_double(vec)
+    arr = F.array(
+        *[
+            F.struct(_cell_score(vd, cvec).alias("cos"), F.lit(cid).alias("cid"))
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(arr)), 1, nprobe)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    iters: int = 0,
+) -> DataFrame:
+    """IVF-flat ANN: corpus vectors are binned to their nearest coarse
+    centroid (one shuffle-free projection on the scan); each query probes
+    its ``nprobe`` nearest cells and ranks candidates by exact cosine.
+
+    The cell join is an int-key equi-join with the (small) query side
+    broadcast — the corpus never shuffles, mirroring ``ann_lsh_topk``.
+    Recall < 1 when nprobe < n_cells (that's the trade); with
+    nprobe ≥ n_cells every cell is probed and the result is provably
+    identical to ``ann_bruteforce_topk`` — each corpus vector lives in
+    exactly one cell and each (query, cell) pair is probed once, so the
+    candidate set is the full corpus with no duplicates. Pass precomputed
+    ``centroids`` (from ``ivf_centroids``, persistable like the LSH band
+    tables) to skip the seeding scan on recurring query batches.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_cells, id_col=id_col, vec_col=vec_col, iters=iters
+        )
+    c = _spread(corpus).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        ivf_cell_col(F.col(vec_col), centroids).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            ivf_probe_cells_col(F.col(vec_col), centroids, nprobe)
+        ).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
+    )
+    # shed the vector columns BEFORE the window shuffle (same reasoning as
+    # the brute-force and LSH paths)
     scored = scored.select(query_id_col, id_col, "cosine")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -22,8 +22,11 @@ from crawl4ai_spark.datapipe.dedup import (
 from crawl4ai_spark.datapipe.multimodal import blob_meta, extract_blob_features, sample_frames
 from crawl4ai_spark.datapipe.similarity import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     cosine_col,
     hyperplanes,
+    ivf_cell_col,
+    ivf_centroids,
 )
 from crawl4ai_spark.datapipe.textstats import (
     fingerprint_col,
@@ -111,6 +114,56 @@ def test_cosine_and_ann(spark):
     queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
     top = ann_bruteforce_topk(emb, queries, k=2).orderBy("rank").collect()
     assert [r.vec_id for r in top] == [1, 2]  # nearest first, self excluded
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    # nprobe = n_cells ⇒ every cell probed ⇒ provably identical to
+    # brute-force (each corpus vector lives in exactly one cell)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in ann_bruteforce_topk(e, q, k=4).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in ann_ivf_topk(e, q, n_cells=5, nprobe=5, k=4).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_nprobe_prunes_and_recalls(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_ivf_topk(e, q, n_cells=8, nprobe=1, k=4).collect()
+    # a query's own cell always contains its nearest-by-construction
+    # neighborhood seed: results exist and ranks are contiguous from 1
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert by_q and all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # nprobe=1 visits a strict subset of the corpus ⇒ per-query candidate
+    # cosines are a subset of the brute-force score set
+    bf = {(r.query_id, r.vec_id) for r in ann_bruteforce_topk(e, q, k=10_000).collect()}
+    assert {(r.query_id, r.vec_id) for r in out} <= bf
+
+
+def test_ivf_centroids_deterministic_and_lloyd(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    c1 = ivf_centroids(emb, 4)
+    c2 = ivf_centroids(emb, 4)
+    assert c1 == c2  # layout-independent hash seeding
+    assert [cid for cid, _ in c1] == [0, 1, 2, 3]
+    refined = ivf_centroids(emb, 4, iters=2)
+    assert len(refined) == 4 and refined != c1  # Lloyd moved the means
+    # assignment is total: every vector lands in exactly one valid cell
+    cells = emb.select(
+        ivf_cell_col(F.col("embedding"), refined).alias("c")
+    ).collect()
+    assert all(0 <= r.c < 4 for r in cells)
 
 
 def test_hyperplanes_deterministic():

@@ -203,6 +203,24 @@ def test_ann_sheds_vectors_before_window(spark, sf_dir):
     assert "_qvec" not in exchange_sections[0].split("+-")[0]
 
 
+def test_ann_ivf_broadcasts_probes_and_sheds_vectors(spark, sf_dir):
+    from crawl4ai_spark.datapipe.similarity import ann_ivf_topk, ivf_centroids
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = ivf_centroids(e, 4)
+    plan = _plan(ann_ivf_topk(e, q, nprobe=2, k=3, centroids=cents))
+    # the probe side (queries × nprobe cells) broadcasts — the corpus-side
+    # cell join must never shuffle the corpus
+    assert "BroadcastHashJoin" in plan
+    # vectors shed before the rank window's exchange, same as bf/LSH
+    exchange_sections = [
+        s for s in plan.split("Exchange") if "hashpartitioning(query_id" in s
+    ]
+    assert exchange_sections, "expected a hash partitioning on query_id"
+    assert "_cvec" not in exchange_sections[0].split("+-")[0]
+
+
 def test_extraction_is_single_python_stage(spark, pages):
     from crawl4ai_spark.plans.extract import extract_pages
 
