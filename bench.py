@@ -225,6 +225,65 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             )
         ),
     )
+    # IVF at scale: a ~128k-vector corpus (sf embeddings replicated with a
+    # deterministic per-rep perturbation so every vector is distinct).
+    # Three entries tell the whole story:
+    #   ann_bruteforce_128k    — the exact baseline: every query scores the
+    #                            full corpus.
+    #   ann_ivf_table_write_128k — the amortized once-per-corpus step (like
+    #                            minhash_bucketed_write): train centroids,
+    #                            assign cells on the scan, write the corpus
+    #                            partitionBy(cell).
+    #   ann_ivf_probe_128k     — the recurring query batch: nprobe=4 of 32
+    #                            cells, so the partition-pruned scan reads
+    #                            ~1/8 of the corpus bytes and scores only
+    #                            those candidates. This is the number that
+    #                            holds at 100 TB; it must beat brute force.
+    from crawl4ai_spark.datapipe.similarity import (
+        ann_ivf_topk,
+        ivf_centroids,
+        write_ivf_table,
+    )
+
+    n_embs = embs.count()
+    erep = max(1, 128_000 // n_embs)
+    ereps = spark.range(erep).select(F.col("id").alias("rep"))
+    big_embs = embs.crossJoin(ereps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + ((F.col("rep") * 7 + i) % 11).cast("double") * 0.003,
+        ).alias("embedding"),
+        "rep",
+    )
+    big_embs.drop("rep").repartition(cpus * 2).write.parquet(f"{bench_root}/big_embs")
+    big_embs = spark.read.parquet(f"{bench_root}/big_embs")
+    equeries = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed(
+        "ann_bruteforce_128k",
+        lambda: _count(ann_bruteforce_topk(big_embs, equeries, k=5)),
+    )
+    ivf_cents = ivf_centroids(big_embs, n_cells=32)
+    timed(
+        "ann_ivf_table_write_128k",
+        lambda: write_ivf_table(big_embs, f"{bench_root}/ivf_table", ivf_cents),
+    )
+    ivf_table = spark.read.parquet(f"{bench_root}/ivf_table")
+    timed(
+        "ann_ivf_probe_128k",
+        lambda: _count(
+            ann_ivf_topk(
+                ivf_table,
+                equeries,
+                nprobe=4,
+                k=5,
+                centroids=ivf_cents,
+                cell_col="ivf_cell",
+            )
+        ),
+    )
     timed(
         "text_stats",
         lambda: _count(

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,18 +166,36 @@ def ann_lsh_topk(
 # -- IVF-flat: sampled coarse quantizer + nprobe cell probing ----------------
 
 
-def _cell_score(vd: Column, centroid: list[float]) -> Column:
-    """Centroid-affinity score for assignment/probing: dot(v, c)/|c| with
-    |c| folded in as a Python literal. Equals cosine × |v|, and |v| is
+def _centroid_matrix(
+    centroids: list[tuple[int, list[float]]],
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """(cids, row-normalized centroid matrix), rows sorted by cell id.
+
+    Cell affinity is scored as dot(v, c/|c|) = cosine × |v|; |v| is
     constant across the centroids being compared, so argmax and every tie
-    are identical to true cosine — without recomputing the row vector's
-    norm once per centroid (the reported scores still go through
-    ``cosine_col`` so every engine sees the same rounded values)."""
-    nc = sum(float(v) * float(v) for v in centroid) ** 0.5
-    if nc == 0.0:
-        return F.lit(0.0)
-    lit = F.array(*[F.lit(float(v) / nc) for v in centroid])
-    return dot_col(vd, lit)
+    are identical to true cosine without per-centroid norm recomputation
+    (the reported scores still go through ``cosine_col`` so every engine
+    sees the same rounded values). A zero centroid scores 0 against
+    everything (cosine convention), implemented by zeroing its row."""
+    ordered = sorted(centroids)
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    mat = np.array([vec for _, vec in ordered], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.inf
+    return cids, mat / norms[:, None]
+
+
+def _vec_batch(v: "pd.Series", dim: int) -> "np.ndarray":
+    """Stack an Arrow array<double> batch to (rows × dim); null/empty
+    vectors become zero rows (score 0 against every centroid)."""
+    return np.stack(
+        [
+            np.asarray(x, dtype=np.float64)
+            if x is not None and len(x) == dim
+            else np.zeros(dim)
+            for x in v
+        ]
+    ) if len(v) else np.zeros((0, dim))
 
 
 def ivf_centroids(
@@ -238,20 +258,24 @@ def ivf_centroids(
 
 
 def ivf_cell_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Cell assignment: argmax cosine over the literal centroid table,
-    ties to the smallest cell id. One ``greatest`` over per-centroid
-    structs — pure Catalyst, shuffle-free, so assignment rides the corpus
-    scan as a map-side projection."""
-    vd = _as_double(vec)
-    scored = [
-        F.struct(
-            _cell_score(vd, cvec).alias("cos"),
-            F.lit(-cid).alias("neg_cid"),
-        )
-        for cid, cvec in centroids
-    ]
-    best = scored[0] if len(scored) == 1 else F.greatest(*scored)
-    return (-best["neg_cid"]).cast("long")
+    """Cell assignment: argmax cosine over the centroid table, ties to the
+    smallest cell id. An Arrow ``pandas_udf`` whose batch body is one numpy
+    matmul against the (tiny, closure-shipped) normalized centroid matrix —
+    shuffle-free, so assignment rides the corpus scan as a map-side
+    projection. A literal-expression Catalyst formulation was tried first
+    and abandoned: n_cells × dim literals make an expression tree whose
+    per-query analysis/Janino cost is seconds and grows with the quantizer,
+    while the matmul is microseconds per batch at any realistic n_cells."""
+    cids, mat = _centroid_matrix(centroids)
+    dim = mat.shape[1]
+
+    @F.pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        scores = _vec_batch(v, dim) @ mat.T
+        # first-max of ascending-cid columns = smallest winning cell id
+        return pd.Series(cids[np.argmax(scores, axis=1)])
+
+    return assign(vec)
 
 
 def ivf_probe_cells_col(
@@ -259,16 +283,57 @@ def ivf_probe_cells_col(
 ) -> Column:
     """Array of the ``nprobe`` nearest cell ids for a query vector
     (cosine-descending, ties to the larger id — probing order does not
-    affect results, only which cells are visited)."""
-    vd = _as_double(vec)
-    arr = F.array(
-        *[
-            F.struct(_cell_score(vd, cvec).alias("cos"), F.lit(cid).alias("cid"))
-            for cid, cvec in centroids
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(arr)), 1, nprobe)
-    return F.transform(top, lambda s: s["cid"])
+    affect results, only which cells are visited). Query batches are
+    contract-small, so the per-row tie-exact sort is a plain loop over the
+    numpy score matrix."""
+    cids, mat = _centroid_matrix(centroids)
+    dim = mat.shape[1]
+    take = min(nprobe, len(cids))
+
+    @F.pandas_udf("array<long>")
+    def probe(v: pd.Series) -> pd.Series:
+        scores = _vec_batch(v, dim) @ mat.T
+        return pd.Series(
+            [
+                [
+                    int(cids[j])
+                    for j in sorted(
+                        range(len(cids)), key=lambda j: (-row[j], -cids[j])
+                    )[:take]
+                ]
+                for row in scores
+            ],
+            dtype=object,
+        )
+
+    return probe(vec)
+
+
+def write_ivf_table(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Persist a corpus as a cell-partitioned IVF table: assign each vector
+    to its nearest coarse centroid (map-side projection on the scan — no
+    shuffle) and write parquet ``partitionBy(cell_col)``.
+
+    This is the once-per-corpus amortized step (exactly like the bucketed
+    MinHash band tables): recurring query batches probe via
+    ``ann_ivf_topk(..., cell_col=...)``, whose scan then touches ONLY the
+    probed cells' files — at 100 TB a nprobe=4/256-cell probe reads ~1.6 %
+    of the corpus bytes instead of all of them, which no join-side pruning
+    can achieve after a full scan. Keep ``n_cells`` ≲ low thousands: one
+    directory per cell, and each write task can open one file per cell it
+    sees (the usual partitionBy fan-out consideration)."""
+    df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell_col(F.col(vec_col), centroids).alias(cell_col),
+    ).write.partitionBy(cell_col).mode("overwrite").parquet(path)
 
 
 def ann_ivf_topk(
@@ -282,6 +347,7 @@ def ann_ivf_topk(
     query_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     iters: int = 0,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: corpus vectors are binned to their nearest coarse
     centroid (one shuffle-free projection on the scan); each query probes
@@ -296,16 +362,48 @@ def ann_ivf_topk(
     candidate set is the full corpus with no duplicates. Pass precomputed
     ``centroids`` (from ``ivf_centroids``, persistable like the LSH band
     tables) to skip the seeding scan on recurring query batches.
+
+    With ``cell_col`` naming a pre-assigned cell column (a corpus written
+    by ``write_ivf_table``), assignment is skipped and — because the probed
+    cell ids are known once the (small, broadcastable-by-contract) query
+    batch is — the corpus scan is filtered to ``cell_col IN (probed)``
+    up-front: on a ``partitionBy(cell_col)`` table that is static partition
+    pruning, so unprobed cells are never read at all. ``centroids`` is
+    required then (the table was assigned under a specific quantizer).
     """
+    if cell_col is not None and centroids is None:
+        raise ValueError(
+            "cell_col requires the centroids the table was assigned with"
+        )
     if centroids is None:
         centroids = ivf_centroids(
             corpus, n_cells, id_col=id_col, vec_col=vec_col, iters=iters
         )
-    c = _spread(corpus).select(
-        F.col(id_col),
-        F.col(vec_col).alias("_cvec"),
-        ivf_cell_col(F.col(vec_col), centroids).alias("_cell"),
-    )
+    if cell_col is not None:
+        # one tiny job over the query batch (bounded by its contract-small
+        # size) buys a partition-pruned corpus scan — the 100 TB win
+        probed = sorted(
+            {
+                c
+                for r in queries.select(
+                    ivf_probe_cells_col(F.col(vec_col), centroids, nprobe).alias(
+                        "_cells"
+                    )
+                ).collect()
+                for c in r["_cells"]
+            }
+        )
+        c = corpus.filter(F.col(cell_col).isin(probed)).select(
+            F.col(id_col),
+            F.col(vec_col).alias("_cvec"),
+            F.col(cell_col).cast("long").alias("_cell"),
+        )
+    else:
+        c = _spread(corpus).select(
+            F.col(id_col),
+            F.col(vec_col).alias("_cvec"),
+            ivf_cell_col(F.col(vec_col), centroids).alias("_cell"),
+        )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),

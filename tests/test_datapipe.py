@@ -148,6 +148,32 @@ def test_ivf_nprobe_prunes_and_recalls(spark, sf_dir):
     assert {(r.query_id, r.vec_id) for r in out} <= bf
 
 
+def test_ivf_table_probe_matches_inline_and_prunes_scan(spark, sf_dir, tmp_path):
+    from crawl4ai_spark.datapipe.similarity import write_ivf_table
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = ivf_centroids(e, 8, iters=1)
+    path = str(tmp_path / "ivf_table")
+    write_ivf_table(e, path, cents)
+    table = spark.read.parquet(path)
+    probed = ann_ivf_topk(
+        table, q, nprobe=2, k=4, centroids=cents, cell_col="ivf_cell"
+    )
+    inline = ann_ivf_topk(e, q, nprobe=2, k=4, centroids=cents)
+    assert {tuple(r) for r in probed.collect()} == {tuple(r) for r in inline.collect()}
+    # the table scan must be partition-pruned to the probed cells: the IN
+    # filter lands in PartitionFilters, not a post-scan Filter over all rows
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in seg and "IN" in seg.upper()
+    # missing centroids with cell_col is a contract error, not silence
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ann_ivf_topk(table, q, nprobe=2, k=4, cell_col="ivf_cell")
+
+
 def test_ivf_centroids_deterministic_and_lloyd(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(30)],
