@@ -33,6 +33,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, minhash_dedup_pairs
+
+
+class ConvergenceError(RuntimeError):
+    """Label propagation exceeded its round cap (graph diameter too
+    large). A distinct type so ``algorithm='auto'`` falls back to star
+    contraction ONLY for this case — any other RuntimeError from the
+    rounds (library failures, future guards) propagates to the caller
+    instead of being masked by a silent full re-run."""
+
 
 def connected_components(
     edges: DataFrame,
@@ -57,7 +67,7 @@ def connected_components(
         return connected_components_star(edges, src, dst)
     try:
         return _connected_components_label(edges, src, dst, max_rounds)
-    except RuntimeError:
+    except ConvergenceError:
         if algorithm == "label":
             raise
         return connected_components_star(edges, src, dst)
@@ -101,7 +111,7 @@ def _connected_components_label(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(
+    raise ConvergenceError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "graph diameter exceeds the cap; algorithm='auto' falls back to "
         "connected_components_star for such chain-shaped graphs"
@@ -213,7 +223,7 @@ def minhash_dedup_groups(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn=None,
-    hot_bucket_cap: int | None = None,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Document-level near-duplicate GROUPS: MinHash+LSH verified pairs →
     connected components → (doc_id, group_id, group_size, is_representative)
@@ -225,13 +235,12 @@ def minhash_dedup_groups(
     jaccard 1.0); non-identical members of the same oversized bucket keep
     only their rep-level star edges, so cross-group clique links that
     would have verified — and full-signature colliders below threshold —
-    are the documented recall trade above the cap."""
-    from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, minhash_dedup_pairs
-
+    are the documented recall trade above the cap. ``hot_bucket_cap`` is
+    passed through verbatim: ``None`` disables the guard (the exact
+    unguarded clique path), exactly as in ``minhash_dedup_pairs``."""
     pairs = minhash_dedup_pairs(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
-        threshold=threshold, hash_fn=hash_fn,
-        hot_bucket_cap=HOT_BUCKET_CAP if hot_bucket_cap is None else hot_bucket_cap,
+        threshold=threshold, hash_fn=hash_fn, hot_bucket_cap=hot_bucket_cap,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     docs = df.select(F.col(id_col).cast("long").alias("doc_id"))

@@ -224,6 +224,31 @@ def _sig_fp_col(sig: Column) -> Column:
     return F.xxhash64(F.concat_ws(",", F.transform(sig, lambda x: x.cast("string"))))
 
 
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingles) projection — the ONE spelling of the shingle
+    stage shared by the pair join, the table writer, and the diagnostics
+    (a cast or column change lands everywhere at once)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_col(text_col, k).alias("shingles"),
+    )
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_fn: Callable[[Column], Column]
+) -> DataFrame:
+    """(doc_id, sig) from a shingle frame. Kept as its OWN projection step:
+    inlining the signature into downstream expressions would evaluate the
+    num_hashes-pass minhash once per consumer (CollapseProject declines to
+    merge, keeping it single-evaluation)."""
+    return sh.select(
+        "doc_id",
+        minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=hash_fn).alias(
+            "sig"
+        ),
+    )
+
+
 def _banded_from_signatures(
     sig_df: DataFrame,
     bands: int,
@@ -252,22 +277,21 @@ def hot_bucket_stats(
     bands: int = 4,
     hash_fn: Callable[[Column], Column] | None = None,
     cap: int = HOT_BUCKET_CAP,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Diversion visibility: one row per OVER-CAP band bucket
     (band_id, band_key, n_docs). Run this alongside a dedup pass to report
     how much of the corpus took the star path — silent diversion would
-    read as full pair coverage when it isn't."""
-    rows = num_hashes // bands
-    sig_hash = hash_fn or portable_hash
-    sh = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        shingles_col(text_col, k).alias("shingles"),
-    )
-    sig_df = sh.select(
-        "doc_id",
-        minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=sig_hash).alias("sig"),
-    )
-    banded = _banded_from_signatures(sig_df, bands, rows, hash_fn)
+    read as full pair coverage when it isn't. Pass ``banded`` (the
+    ``_banded_from_signatures`` frame a dedup pass already built, or a
+    ``<prefix>_bands`` table read with band_id selected) to skip
+    recomputing the shingle+signature stage — the expensive part — and
+    guarantee the diagnostic describes the exact band table the dedup ran."""
+    if banded is None:
+        rows = num_hashes // bands
+        sh = _shingle_frame(df, id_col, text_col, k)
+        sig_df = _signatures_from_shingles(sh, num_hashes, hash_fn or portable_hash)
+        banded = _banded_from_signatures(sig_df, bands, rows, hash_fn)
     return (
         banded.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -305,19 +329,8 @@ def minhash_dedup_pairs(
     # shingle table computed ONCE and cached: it feeds both the signature
     # build and (twice) the verification join — without the cache, Spark
     # re-derives the full shingle+hash plan on every self-join branch.
-    sh = df.repartition(nparts).select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        shingles_col(text_col, k).alias("shingles"),
-    ).cache()
-    # Signature gets its OWN projection step: inlining it into the band-key
-    # expression would evaluate the num_hashes-pass minhash once per band
-    # (CollapseProject declines to merge, keeping it single-evaluation).
-    sig_df = sh.select(
-        "doc_id",
-        minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=sig_hash).alias(
-            "sig"
-        ),
-    )
+    sh = _shingle_frame(df.repartition(nparts), id_col, text_col, k).cache()
+    sig_df = _signatures_from_shingles(sh, num_hashes, sig_hash)
     # band table carries ONLY (doc_id, sig_fp, band_id, band_key): the
     # self-join shuffles 4 narrow columns, never the shingle arrays. (The
     # guard caches the windowed band table, so the signature build — the
@@ -383,10 +396,7 @@ def write_minhash_tables(
     spark = df.sparkSession
     for suffix in ("_shingles", "_bands"):
         _drop_table(spark, f"{name_prefix}{suffix}")
-    sh = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        shingles_col(text_col, k).alias("shingles"),
-    )
+    sh = _shingle_frame(df, id_col, text_col, k)
     # repartition on the bucket column first: a bucketed write otherwise
     # emits (#input-partitions × buckets) files — the shuffle costs one
     # exchange at write time and buys 1 file/bucket forever after
@@ -400,11 +410,8 @@ def write_minhash_tables(
     )
     rows = num_hashes // bands
     spark = df.sparkSession
-    sig_df = spark.table(f"{name_prefix}_shingles").select(
-        "doc_id",
-        minhash_signature_col(F.col("shingles"), num_hashes, hash_fn=hash_fn).alias(
-            "sig"
-        ),
+    sig_df = _signatures_from_shingles(
+        spark.table(f"{name_prefix}_shingles"), num_hashes, hash_fn
     )
     # band_id FOLDED into the key (single-column bucketed equi-join);
     # sig_fp rides along for the reader's hot-bucket guard

@@ -112,7 +112,16 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-projection bucket id: bit p set ⇔ dot(vec, plane_p) > 0."""
+    """Signed-projection bucket id: bit p set ⇔ dot(vec, plane_p) > 0.
+    Bucket ids are longs, so at most 63 planes (one sign bit per plane) —
+    more than anyone needs: recall already falls off a cliff well before
+    2^63 buckets. A count past that raised an opaque Py4J overflow before
+    this guard."""
+    if len(planes) > 63:
+        raise ValueError(
+            f"lsh_bucket_col supports at most 63 planes (long bucket id); "
+            f"got {len(planes)} — did you swap hyperplanes(num_planes, dim)?"
+        )
     vd = _as_double(vec)
     acc = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
@@ -222,17 +231,37 @@ def ivf_centroids(
     default trains on ``corpus`` itself, which is exact but pays the
     posexplode CPU on every row.
     """
+    # null/empty vectors can't seed a cell (assignment scores them 0
+    # against everything — see _vec_batch); filter BEFORE the ordered take
+    # so a junk row with a lucky hash doesn't crash the seed build
     seeds = (
         corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
         .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(n_cells)
         .collect()
     )
-    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    if not seeds:
+        raise ValueError("ivf_centroids: corpus has no non-empty vectors")
+    # pin the quantizer dimension to the first (deterministic) seed and
+    # drop wrong-dimension stragglers — a mixed-dim corpus otherwise
+    # builds a ragged centroid matrix that crashes every assignment batch
+    dim = len(seeds[0][vec_col])
+    cents = [
+        (i, [float(x) for x in vec])
+        for i, vec in enumerate(
+            r[vec_col] for r in seeds if len(r[vec_col]) == dim
+        )
+    ]
     if iters <= 0:
         return cents
-    t = (train if train is not None else corpus).select(
-        _as_double(F.col(vec_col)).alias("_v")
+    # same dimension pin for Lloyd: every surviving training vector has
+    # exactly `dim` positions, so each non-empty cell's mean is full-width
+    # (never ragged) and null vectors never reach the posexplode
+    t = (
+        (train if train is not None else corpus)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(_as_double(F.col(vec_col)).alias("_v"))
     )
     for _ in range(iters):
         assigned = t.withColumn("_cell", ivf_cell_col(F.col("_v"), cents))
@@ -637,6 +666,16 @@ def _lance_williams_labels(
     return labels
 
 
+LINKAGE_HOT_BUCKET_CAP = 2048
+"""Per-bucket size bound for the non-single linkage engine: the in-task
+agglomerative merge is O(B²) memory and O(B³) time, so one degenerate
+bucket (thousands of byte-identical boilerplate embeddings — the same
+threat model dedup.HOT_BUCKET_CAP guards) would stall or OOM a single
+executor task. Buckets above the cap are diverted to exact-identical
+grouping (below); 2048 keeps the matrix ≤ 32 MiB and the merge loop
+sub-minute per task."""
+
+
 def cosine_cluster_linkage(
     df: DataFrame,
     planes: list[list[float]],
@@ -645,6 +684,7 @@ def cosine_cluster_linkage(
     min_cluster_size: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_bucket_cap: int | None = LINKAGE_HOT_BUCKET_CAP,
 ) -> DataFrame:
     """T23 with the reference's FULL ``linkage_method`` config surface
     (ward — the reference default — / average / complete / single), per
@@ -659,7 +699,16 @@ def cosine_cluster_linkage(
     bucket group — the LSH bucket bound IS the scale control (the same
     per-bucket memory shape as the reference's single-page in-memory
     clustering). ``linkage_method='single'`` here is differential-tested
-    equal to ``cosine_cluster``."""
+    equal to ``cosine_cluster``.
+
+    Buckets larger than ``hot_bucket_cap`` are DIVERTED: their members are
+    grouped by exact-identical vector instead of run through the O(B³)
+    merge loop (the degenerate buckets that get this big are boilerplate
+    clones whose pairwise distance is 0, where identical-grouping is what
+    the full algorithm would do first anyway); near-but-not-identical
+    members of a diverted bucket stay singletons — the documented recall
+    trade, same shape as dedup.HOT_BUCKET_CAP. ``hot_bucket_cap=None``
+    disables the guard for corpora the caller can bound."""
     import numpy as np
     import pandas as pd
 
@@ -671,6 +720,27 @@ def cosine_cluster_linkage(
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
+    diverted = None
+    if hot_bucket_cap is not None:
+        sized = base.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        )
+        hot = sized.filter(F.col("_n") > hot_bucket_cap).drop("_n")
+        base = sized.filter(F.col("_n") <= hot_bucket_cap).drop("_n")
+        # exact-identical grouping for the hot tail: one window over
+        # (bucket, vector fingerprint) — linear, no matrix
+        gw = Window.partitionBy(
+            "bucket",
+            F.xxhash64(
+                F.concat_ws(",", F.transform("vec", lambda x: x.cast("string")))
+            ),
+        )
+        diverted = hot.select(
+            "vec_id",
+            "bucket",
+            F.min("vec_id").over(gw).alias("cluster_label"),
+            F.count(F.lit(1)).over(gw).alias("cluster_size"),
+        )
 
     def cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf["vec_id"].to_numpy().argsort(kind="stable")
@@ -699,6 +769,8 @@ def cosine_cluster_linkage(
     out = base.groupBy("bucket").applyInPandas(
         cluster, "vec_id long, bucket long, cluster_label long, cluster_size long"
     )
+    if diverted is not None:
+        out = out.unionByName(diverted)
     if min_cluster_size > 1:
         out = out.filter(F.col("cluster_size") >= min_cluster_size)
     return out

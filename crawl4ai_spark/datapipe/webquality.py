@@ -98,33 +98,18 @@ def stopword_types_col(text: Column | str) -> Column:
 
 
 def dup_line_frac_col(text: Column | str) -> Column:
-    """Fraction of lines that are repeats of an earlier line."""
-    ls = lines_col(text)
-    n = F.size(ls)
-    dups = n - F.size(F.array_distinct(ls))
-    return F.when(n > 0, dups.cast("double") / n.cast("double")).otherwise(
-        F.lit(0.0)
-    )
+    """Fraction of lines that are repeats of an earlier line (the
+    line-array instance of ``dup_frac_from_parts`` — one formula)."""
+    return dup_frac_from_parts(lines_col(text))
 
 
 def dup_line_char_frac_col(text: Column | str) -> Column:
     """Fraction of (non-empty-line) characters inside lines that occur more
     than once — the paper's definition: ALL copies of a duplicated line
-    count, not just the extras. O(L²) per document via a nested array
-    lambda; L is lines-per-document, so this never touches corpus scale."""
-    ls = lines_col(text)
-    total = F.aggregate(ls, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
-    dup_chars = F.aggregate(
-        ls,
-        F.lit(0).cast("long"),
-        lambda a, l: a
-        + F.when(
-            F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l)
-        ).otherwise(F.lit(0)),
-    )
-    return F.when(
-        total > 0, dup_chars.cast("double") / total.cast("double")
-    ).otherwise(F.lit(0.0))
+    count, not just the extras (``dup_char_frac_from_parts`` over the line
+    array — one formula). O(L²) per document via a nested array lambda; L
+    is lines-per-document, so this never touches corpus scale."""
+    return dup_char_frac_from_parts(lines_col(text))
 
 
 def top_ngram_token_frac_col(text: Column | str, n: int = 2) -> Column:
@@ -149,21 +134,60 @@ def top_ngram_token_frac_col(text: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def gopher_metrics(text: Column | str) -> Column:
-    """All Gopher screening metrics as one struct column (rounded to 6 dp
-    where fractional, so the oracle compare is exact)."""
-    c = _c(text)
+def _gopher_struct(
+    c: Column, gw: Column, gwl: Column, gls: Column, gtot: Column, gg2: Column
+) -> Column:
+    """THE Gopher screening-metric formula, written once: (raw text, word
+    array, lowered words, lines, lowered-token chars, guarded 2-grams) →
+    the metrics struct. ``gopher_metrics`` feeds it inline expressions;
+    ``gopher_metrics_frame`` feeds it staged columns — so the two paths
+    cannot drift (a formula tweak lands in both or neither)."""
+    n = F.size(gw)
+    nd = n.cast("double")
+    word_chars = F.aggregate(
+        gw, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0)))
+    alpha_hits = F.size(F.filter(gw, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     return F.struct(
-        F.size(words_col(c)).cast("long").alias("n_words"),
-        F.round(mean_word_len_col(c), 6).alias("mean_word_len"),
-        F.round(symbol_word_ratio_col(c), 6).alias("symbol_word_ratio"),
-        F.round(alpha_word_ratio_col(c), 6).alias("alpha_word_ratio"),
-        stopword_types_col(c).alias("stopword_types"),
-        F.round(dup_line_frac_col(c), 6).alias("dup_line_frac"),
-        F.round(dup_line_char_frac_col(c), 6).alias("dup_line_char_frac"),
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.when(n > 0, word_chars.cast("double") / nd).otherwise(F.lit(0.0)), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(n > 0, (hashes + ellipses).cast("double") / nd).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("symbol_word_ratio"),
+        F.round(
+            F.when(n > 0, alpha_hits.cast("double") / nd).otherwise(F.lit(0.0)), 6
+        ).alias("alpha_word_ratio"),
+        F.size(F.filter(stops, lambda s: F.array_contains(gwl, s)))
+        .cast("long")
+        .alias("stopword_types"),
+        F.round(dup_frac_from_parts(gls), 6).alias("dup_line_frac"),
+        F.round(dup_char_frac_from_parts(gls), 6).alias("dup_line_char_frac"),
         # paper-exact char fraction (Table A1 row 12), shared with the
         # full repetition suite below
-        F.round(top_ngram_char_frac_col(c, 2), 6).alias("top_2gram_frac"),
+        F.round(_top_frac_from_grams(gg2, gtot, 2), 6).alias("top_2gram_frac"),
+    )
+
+
+def gopher_metrics(text: Column | str) -> Column:
+    """All Gopher screening metrics as one struct column (rounded to 6 dp
+    where fractional, so the oracle compare is exact). Single-Column form —
+    each metric's tokenization is inlined (Catalyst does not de-duplicate
+    across lambda boundaries); prefer ``gopher_metrics_frame`` in hot
+    paths, which stages the arrays once. Both produce the identical struct
+    via ``_gopher_struct``."""
+    c = _c(text)
+    gw = words_col(c)
+    gwl = F.transform(gw, F.lower)
+    return _gopher_struct(
+        c, gw, gwl, lines_col(c), _token_chars(gwl), grams_guarded_col(gwl, 2)
     )
 
 
@@ -185,40 +209,15 @@ def gopher_metrics_frame(df, text_col: str, struct_col: str = "m"):
         .withColumn("_gtot", _token_chars(F.col("_gwl")))
         .withColumn("_gg2", grams_guarded_col(F.col("_gwl"), 2))
     )
-    gw, gwl, gls = F.col("_gw"), F.col("_gwl"), F.col("_gls")
-    n = F.size(gw)
-    nd = n.cast("double")
-    word_chars = F.aggregate(
-        gw, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
-    ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0)))
-    alpha_hits = F.size(F.filter(gw, lambda w: w.rlike("[A-Za-z]")))
-    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     out = staged.withColumn(
         struct_col,
-        F.struct(
-            n.cast("long").alias("n_words"),
-            F.round(
-                F.when(n > 0, word_chars.cast("double") / nd).otherwise(F.lit(0.0)), 6
-            ).alias("mean_word_len"),
-            F.round(
-                F.when(n > 0, (hashes + ellipses).cast("double") / nd).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
-            ).alias("symbol_word_ratio"),
-            F.round(
-                F.when(n > 0, alpha_hits.cast("double") / nd).otherwise(F.lit(0.0)), 6
-            ).alias("alpha_word_ratio"),
-            F.size(F.filter(stops, lambda s: F.array_contains(gwl, s)))
-            .cast("long")
-            .alias("stopword_types"),
-            F.round(dup_frac_from_parts(gls), 6).alias("dup_line_frac"),
-            F.round(dup_char_frac_from_parts(gls), 6).alias("dup_line_char_frac"),
-            F.round(
-                _top_frac_from_grams(F.col("_gg2"), F.col("_gtot"), 2), 6
-            ).alias("top_2gram_frac"),
+        _gopher_struct(
+            c,
+            F.col("_gw"),
+            F.col("_gwl"),
+            F.col("_gls"),
+            F.col("_gtot"),
+            F.col("_gg2"),
         ),
     )
     return out.drop("_gw", "_gwl", "_gls", "_gtot", "_gg2")
@@ -316,55 +315,22 @@ def _token_chars(ws: Column) -> Column:
 def top_ngram_char_frac_col(text: Column | str, n: int) -> Column:
     """Paper rows 12-14: fraction of token characters covered by the most
     frequent word n-gram = max_g(count(g) · token_chars(g)) / total token
-    chars."""
+    chars. Single-Column instance of ``_top_frac_from_grams`` — one
+    formula (the guarded gram array is empty below n tokens, which is the
+    same zero the old inline n_w ≥ n condition produced)."""
     ws = F.transform(words_col(text), F.lower)
-    n_w = F.size(ws)
-    grams = _grams(ws, n)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: (
-                F.size(F.filter(grams, lambda x: x == g))
-                * (F.length(g) - (n - 1))
-            ).cast("long"),
-        )
-    )
-    total = _token_chars(ws)
-    return F.when(
-        (n_w >= n) & (total > 0), top.cast("double") / total.cast("double")
-    ).otherwise(F.lit(0.0))
+    return _top_frac_from_grams(grams_guarded_col(ws, n), _token_chars(ws), n)
 
 
 def dup_ngram_char_frac_col(text: Column | str, n: int) -> Column:
     """Paper rows 15-20: fraction of token characters covered by ANY word
     n-gram that occurs more than once. Coverage is positional (overlapping
     duplicated grams never double-count a token): token j is covered iff
-    some duplicated gram starts in [j-n+1, j]."""
+    some duplicated gram starts in [j-n+1, j]. Single-Column instance of
+    ``_dup_frac_from_flags`` — one formula."""
     ws = F.transform(words_col(text), F.lower)
-    n_w = F.size(ws)
-    grams = _grams(ws, n)
-    n_g = F.size(grams)
-    dupflags = F.transform(
-        grams, lambda g: F.size(F.filter(grams, lambda x: x == g)) > 1
-    )
-    covered = F.aggregate(
-        F.sequence(F.lit(1), n_w),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.exists(
-                F.sequence(
-                    F.greatest(F.lit(1), j - (n - 1)), F.least(j, n_g)
-                ),
-                lambda i: F.element_at(dupflags, i),
-            ),
-            F.length(F.element_at(ws, j)),
-        ).otherwise(F.lit(0)),
-    )
-    total = _token_chars(ws)
-    return F.when(
-        (n_w >= n) & (total > 0), covered.cast("double") / total.cast("double")
-    ).otherwise(F.lit(0.0))
+    flags = dupflags_col(grams_guarded_col(ws, n))
+    return _dup_frac_from_flags(ws, flags, _token_chars(ws), n)
 
 
 def grams_guarded_col(ws: Column, n: int) -> Column:

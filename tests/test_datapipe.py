@@ -680,3 +680,96 @@ def test_minhash_tables_without_sig_fp_still_readable(spark):
     got = {(r.id_a, r.id_b) for r in
            minhash_pairs_from_tables(spark, "t_compat_legacy").collect()}
     assert got == want and (1, 2) in got
+
+
+def test_ivf_centroids_skips_null_and_wrong_dim(spark):
+    """Junk vectors (NULL, empty, wrong dimension) never crash the seed
+    build or Lloyd refinement — the quantizer pins its dimension to the
+    first deterministic seed and trains only on full-width vectors, the
+    same rows the assignment path can actually score."""
+    rows = [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(20)]
+    rows += [(100, None), (101, []), (102, [1.0, 2.0, 3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(emb, 4, iters=2)
+    assert len(cents) == 4 and all(len(vec) == 2 for _, vec in cents)
+    # junk rows still assign somewhere (zero-vector convention: cell of
+    # the first max over zero scores) rather than crashing the batch
+    cells = emb.select(ivf_cell_col(F.col("embedding"), cents).alias("c")).collect()
+    assert all(0 <= r.c < 4 for r in cells)
+    # an all-junk corpus is a contract error, not a crash
+    junk = spark.createDataFrame(
+        [(1, None), (2, [])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-empty vectors"):
+        ivf_centroids(junk, 2)
+
+
+def test_cosine_cluster_linkage_hot_bucket_divert(spark):
+    """An over-cap LSH bucket takes the linear exact-identical path: clone
+    groups collapse to min-id clusters without the O(B³) merge loop, while
+    small buckets still get true linkage clustering."""
+    import math
+
+    from crawl4ai_spark.datapipe.similarity import cosine_cluster_linkage
+
+    rows = (
+        # bucket +x: 6 clones of a, 4 clones of b (near a but not equal)
+        [(i, [1.0, 0.0]) for i in range(6)]
+        + [(10 + i, [math.cos(0.1), math.sin(0.1)]) for i in range(4)]
+        # bucket -x: a small pair linkage must still truly cluster
+        + [(100, [-1.0, 0.0]), (101, [-math.cos(0.05), -math.sin(0.05)])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster_label, r.cluster_size)
+        for r in cosine_cluster_linkage(
+            df, [[1.0, 0.0]], max_dist=0.2, linkage_method="ward",
+            hot_bucket_cap=8,
+        ).collect()
+    }
+    # diverted bucket: identical-vector groups only (0-5 and 10-13 stay
+    # separate clusters even though ward at 0.2 would have merged them)
+    assert {out[i] for i in range(6)} == {(0, 6)}
+    assert {out[10 + i] for i in range(4)} == {(10, 4)}
+    # small bucket still linkage-merged
+    assert out[100] == (100, 2) and out[101] == (100, 2)
+    # unguarded call on the same input merges the near clones — proving
+    # the divert (not the linkage) produced the split above
+    full = {
+        r.vec_id: r.cluster_size
+        for r in cosine_cluster_linkage(
+            df, [[1.0, 0.0]], max_dist=0.2, linkage_method="ward",
+            hot_bucket_cap=None,
+        ).collect()
+    }
+    assert full[0] == 10 and full[10] == 10
+
+
+def test_minhash_groups_cap_none_passthrough(spark):
+    """minhash_dedup_groups forwards hot_bucket_cap verbatim: None reaches
+    the pair stage as 'no guard' (docstring contract), and on a corpus with
+    an over-default-cap-free shape both settings agree exactly."""
+    from crawl4ai_spark.datapipe.components import minhash_dedup_groups
+
+    docs = [(i, f"alpha beta gamma delta {i % 3}") for i in range(24)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    guarded = {
+        tuple(r)
+        for r in minhash_dedup_groups(df, "doc_id", "text", hot_bucket_cap=4).collect()
+    }
+    unguarded = {
+        tuple(r)
+        for r in minhash_dedup_groups(
+            df, "doc_id", "text", hot_bucket_cap=None
+        ).collect()
+    }
+    # identical docs (8 per residue class) share full signatures, so the
+    # star diversion loses nothing here and both paths agree
+    assert guarded == unguarded and len(guarded) == 24
+
+
+def test_lsh_bucket_rejects_over_63_planes(spark):
+    from crawl4ai_spark.datapipe.similarity import lsh_bucket_col
+
+    with pytest.raises(ValueError, match="at most 63 planes"):
+        lsh_bucket_col(F.col("embedding"), hyperplanes(64, 4))
