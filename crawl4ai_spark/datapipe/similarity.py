@@ -345,6 +345,7 @@ def write_ivf_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    files_per_cell: int = 4,
 ) -> None:
     """Persist a corpus as a cell-partitioned IVF table: assign each vector
     to its nearest coarse centroid (map-side projection on the scan — no
@@ -355,14 +356,28 @@ def write_ivf_table(
     ``ann_ivf_topk(..., cell_col=...)``, whose scan then touches ONLY the
     probed cells' files — at 100 TB a nprobe=4/256-cell probe reads ~1.6 %
     of the corpus bytes instead of all of them, which no join-side pruning
-    can achieve after a full scan. Keep ``n_cells`` ≲ low thousands: one
-    directory per cell, and each write task can open one file per cell it
-    sees (the usual partitionBy fan-out consideration)."""
-    df.select(
+    can achieve after a full scan. Keep ``n_cells`` ≲ low thousands (one
+    directory per cell).
+
+    ``files_per_cell`` bounds the table's file count: a raw
+    ``partitionBy(cell)`` write opens one file per (task × cell it sees) —
+    at 10k input tasks × 256 cells that is millions of tiny files, the
+    classic partitionBy fan-out failure. The salted repartition on
+    (cell, xxhash64(id) mod files_per_cell) costs ONE exchange at write
+    time and caps the table at exactly n_cells × files_per_cell files,
+    each written by the one task that owns its (cell, salt) slot. Size it
+    so a cell's bytes / files_per_cell ≈ a sane parquet file (128 MB–1 GB);
+    the salt keys on the row id, so file sizes within a cell stay even
+    regardless of vector content."""
+    assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
         ivf_cell_col(F.col(vec_col), centroids).alias(cell_col),
-    ).write.partitionBy(cell_col).mode("overwrite").parquet(path)
+    )
+    salted = assigned.repartition(
+        F.col(cell_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell))
+    )
+    salted.write.partitionBy(cell_col).mode("overwrite").parquet(path)
 
 
 def ann_ivf_topk(

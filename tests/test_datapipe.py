@@ -773,3 +773,20 @@ def test_lsh_bucket_rejects_over_63_planes(spark):
 
     with pytest.raises(ValueError, match="at most 63 planes"):
         lsh_bucket_col(F.col("embedding"), hyperplanes(64, 4))
+
+
+def test_ivf_table_write_bounds_file_count(spark, tmp_path):
+    from crawl4ai_spark.datapipe.similarity import write_ivf_table
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    ).repartition(16)  # many input tasks: the raw partitionBy fan-out shape
+    cents = ivf_centroids(emb, 4)
+    path = tmp_path / "ivf_files"
+    write_ivf_table(emb, str(path), cents, files_per_cell=2)
+    files = list(path.glob("ivf_cell=*/*.parquet"))
+    # ≤ n_cells × files_per_cell, NOT input_tasks × cells
+    assert 1 <= len(files) <= 8
+    # and the table still reads back complete
+    assert spark.read.parquet(str(path)).count() == 200
