@@ -24,9 +24,17 @@ def export_knowledge_base(
     path: str,
     fmt: str = "jsonl",
     partition_by: list[str] | None = None,
+    files_per_partition: int = 4,
 ) -> None:
     """Write the crawl results as an export KB: (url, timestamp, success,
-    content=raw_markdown, metadata, crawl_order=visit_order)."""
+    content=raw_markdown, metadata, crawl_order=visit_order).
+
+    With ``partition_by``, rows are repartitioned on (partition cols,
+    xxhash64(url) mod ``files_per_partition``) before the write: a raw
+    partitionBy write opens one file per (task × partition value it sees)
+    — the classic small-files fan-out at cluster scale — while the salted
+    exchange caps output at values × files_per_partition evenly sized
+    files (same pattern as ``write_ivf_table``)."""
     cols = [
         F.col("url"),
         F.col("warc_ts").cast("string").alias("timestamp"),
@@ -36,6 +44,11 @@ def export_knowledge_base(
         F.col("visit_order").cast("long").alias("crawl_order"),
     ]
     out = results.select(*cols)
+    if partition_by:
+        out = out.repartition(
+            *[F.col(c) for c in partition_by],
+            F.pmod(F.xxhash64(F.col("url")), F.lit(files_per_partition)),
+        )
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

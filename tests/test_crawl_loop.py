@@ -308,6 +308,18 @@ def test_kb_export_import_roundtrip(spark, pages, tmp_path):
     got = {r.url: r.content for r in back.collect() if r.success}
     want = {r.url: r.raw_markdown for r in ok.select("url", "raw_markdown").collect()}
     assert got == want
+    # partitioned export: file count bounded by values × files_per_partition
+    # (salted write), not input tasks × values, and reads back complete
+    pout = str(tmp_path / "kb_part")
+    export_knowledge_base(
+        results.repartition(16), pout, fmt="parquet",
+        partition_by=["success"], files_per_partition=2,
+    )
+    import glob as _glob
+
+    files = _glob.glob(f"{pout}/success=*/*.parquet")
+    assert 1 <= len(files) <= 4
+    assert import_knowledge_base(spark, pout, fmt="parquet").count() == results.count()
 
 
 def test_multi_capture_pages_fetch_latest_and_counters_sane(spark, pages):
