@@ -203,6 +203,26 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         lambda: _count(minhash_dedup_pairs(same, "doc_id", "text",
                                            hash_fn=F.xxhash64)),
     )
+    # the same degenerate shape for the non-single linkage clusterer: 10k
+    # identical embeddings land in ONE LSH bucket; unguarded that is a
+    # single task building a 10k x 10k distance matrix and an O(B^3)
+    # merge loop — the guard diverts it to linear exact-identical grouping
+    from crawl4ai_spark.datapipe.similarity import cosine_cluster_linkage, hyperplanes
+
+    same_vecs = spark.range(10_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i % 5 + 1)) for i in range(16)]).alias("embedding"),
+    )
+    same_vecs.repartition(cpus).write.parquet(f"{bench_root}/same_vecs")
+    same_vecs = spark.read.parquet(f"{bench_root}/same_vecs")
+    timed(
+        "cosine_linkage_hotbucket_10k_identical",
+        lambda: _count(
+            cosine_cluster_linkage(
+                same_vecs, hyperplanes(8, 16), max_dist=0.1, linkage_method="ward"
+            )
+        ),
+    )
     timed(
         "minhash_bucketed_write_100k",
         lambda: write_minhash_tables(big, "doc_id", "text", "bench_mh",
