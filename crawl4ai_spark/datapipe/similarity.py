@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, _guarded_band_candidates
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -473,35 +475,58 @@ def ann_ivf_topk(
     )
 
 
+def _vec_fp_col(vec: Column) -> Column:
+    """Collision-resistant fingerprint of an embedding array — equal
+    vectors ⇔ equal fingerprints (xxhash64 of the joined components).
+    Distinct vectors colliding here still pass through the exact cosine
+    verify, so a fingerprint collision can never create a false pair —
+    the vector twin of dedup._sig_fp_col."""
+    return F.xxhash64(
+        F.concat_ws(",", F.transform(vec, lambda x: x.cast("string")))
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     planes: list[list[float]],
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) among LSH-bucket cohabitants — the vector twin of
-    minhash_dedup_pairs, with the same candidate-then-verify shape."""
+    minhash_dedup_pairs, with the same candidate-then-verify shape AND
+    the same hot-bucket guard (it literally reuses
+    dedup._guarded_band_candidates over a (vid, vector-fingerprint,
+    bucket) frame): buckets above ``hot_bucket_cap`` emit two linear star
+    layers instead of the quadratic clique — byte-identical embeddings
+    (the boilerplate clones that create hot buckets) share a fingerprint
+    and verify at cosine 1, so they stay connected; cross-group clique
+    edges among non-identical members of a diverted bucket are the
+    documented recall trade. ``hot_bucket_cap=None`` skips the guard
+    (repo-wide convention), for corpora the caller can bound."""
     base = _spread(df).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
     ).cache()
-    a, b = base.alias("a"), base.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a._bucket") == F.col("b._bucket"))
-        & (F.col("a.vid") < F.col("b.vid")),
+    banded = base.select(
+        F.col("vid").alias("doc_id"),
+        _vec_fp_col(F.col("vec")).alias("sig_fp"),
+        "_bucket",
     )
+    cand = _guarded_band_candidates(banded, ["_bucket"], hot_bucket_cap)
     return (
-        cand.withColumn("cosine", cosine_col(F.col("a.vec"), F.col("b.vec")))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            "cosine",
+        cand.join(
+            base.select(F.col("vid").alias("id_a"), F.col("vec").alias("_va")), "id_a"
         )
+        .join(
+            base.select(F.col("vid").alias("id_b"), F.col("vec").alias("_vb")), "id_b"
+        )
+        .withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -512,6 +537,7 @@ def cosine_cluster(
     min_cluster_size: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """T23 — the CosineStrategy cluster-then-group composition (behavioral
     spec: extraction_strategy.py:121-478: embed → hierarchical clustering
@@ -549,19 +575,37 @@ def cosine_cluster(
         )
         .cache()
     )
-    a, b = base.alias("a"), base.alias("b")
+    # ε-edge candidates through the SAME guarded kernel as
+    # embedding_dedup_pairs: buckets above hot_bucket_cap emit two linear
+    # star layers instead of the quadratic clique. For the union-find
+    # below the star edges are exactly as good as the clique for identical
+    # vectors (they verify at cosine 1 and connect the group transitively);
+    # the trade is cross-group edges among NON-identical members of a
+    # diverted bucket — the same documented recall bound as the minhash
+    # path. hot_bucket_cap=None skips the guard (repo-wide convention).
+    banded = base.select(
+        F.col("vid").alias("doc_id"),
+        _vec_fp_col(F.col("vec")).alias("sig_fp"),
+        "bucket",
+    )
+    cand = _guarded_band_candidates(banded, ["bucket"], hot_bucket_cap)
     edges = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
+        cand.join(
+            base.select(
+                F.col("vid").alias("id_a"), F.col("vec").alias("_va"), "bucket"
+            ),
+            "id_a",
         )
-        .withColumn("cosine", cosine_col(F.col("a.vec"), F.col("b.vec")))
+        .join(
+            base.select(F.col("vid").alias("id_b"), F.col("vec").alias("_vb")),
+            "id_b",
+        )
+        .withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
         .filter(F.lit(1.0) - F.col("cosine") <= max_dist)
         .select(
-            F.col("a.bucket").alias("bucket"),
-            F.col("a.vid").alias("vid"),
-            F.col("b.vid").alias("other"),
+            "bucket",
+            F.col("id_a").alias("vid"),
+            F.col("id_b").alias("other"),
         )
     )
     nodes = base.select("bucket", "vid", F.lit(None).cast("long").alias("other"))
@@ -744,12 +788,7 @@ def cosine_cluster_linkage(
         base = sized.filter(F.col("_n") <= hot_bucket_cap).drop("_n")
         # exact-identical grouping for the hot tail: one window over
         # (bucket, vector fingerprint) — linear, no matrix
-        gw = Window.partitionBy(
-            "bucket",
-            F.xxhash64(
-                F.concat_ws(",", F.transform("vec", lambda x: x.cast("string")))
-            ),
-        )
+        gw = Window.partitionBy("bucket", _vec_fp_col(F.col("vec")))
         diverted = hot.select(
             "vec_id",
             "bucket",

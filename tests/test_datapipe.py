@@ -790,3 +790,41 @@ def test_ivf_table_write_bounds_file_count(spark, tmp_path):
     assert 1 <= len(files) <= 8
     # and the table still reads back complete
     assert spark.read.parquet(str(path)).count() == 200
+
+
+def test_embedding_pairs_and_cluster_hot_bucket_divert(spark):
+    """The embedding kernels share the minhash guard: an over-cap LSH
+    bucket of clones emits linear star pairs (identical groups stay
+    connected at cosine 1), and cosine_cluster still labels every clone
+    group as one component."""
+    from crawl4ai_spark.datapipe.similarity import (
+        cosine_cluster,
+        embedding_dedup_pairs,
+    )
+
+    # 12 clones of vector A + 6 clones of B (same hyperplane signs as A,
+    # far in cosine) → one bucket of 18 > cap 8
+    rows = [(i, [1.0, 0.25]) for i in range(12)] + [
+        (100 + i, [0.25, 1.0]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1.0, 1.0]]  # both vectors project positive → one bucket
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(
+            df, planes, threshold=0.99, hot_bucket_cap=8
+        ).collect()
+    }
+    # star pairs within each identical group, nothing across (A·B cosine
+    # ≈ 0.47 fails the verify even for the rep-level star edge)
+    assert pairs == {(0, i) for i in range(1, 12)} | {
+        (100, 100 + i) for i in range(1, 6)
+    }
+    out = {
+        r.vec_id: (r.cluster_label, r.cluster_size)
+        for r in cosine_cluster(
+            df, planes, max_dist=0.01, hot_bucket_cap=8
+        ).collect()
+    }
+    assert {out[i] for i in range(12)} == {(0, 12)}
+    assert {out[100 + i] for i in range(6)} == {(100, 6)}
