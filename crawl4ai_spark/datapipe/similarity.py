@@ -30,7 +30,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, _guarded_band_candidates
+from crawl4ai_spark.datapipe.dedup import (
+    HOT_BUCKET_CAP,
+    _guarded_band_candidates,
+    _sig_fp_col,
+)
 
 
 def _as_double(vec: Column) -> Column:
@@ -366,11 +370,13 @@ def write_ivf_table(
     at 10k input tasks × 256 cells that is millions of tiny files, the
     classic partitionBy fan-out failure. The salted repartition on
     (cell, xxhash64(id) mod files_per_cell) costs ONE exchange at write
-    time and caps the table at exactly n_cells × files_per_cell files,
-    each written by the one task that owns its (cell, salt) slot. Size it
-    so a cell's bytes / files_per_cell ≈ a sane parquet file (128 MB–1 GB);
-    the salt keys on the row id, so file sizes within a cell stay even
-    regardless of vector content."""
+    time and caps the table at AT MOST n_cells × files_per_cell files —
+    hash collisions of (cell, salt) slots into one shuffle task merge
+    files (one larger file per cell that task sees), never multiply them,
+    so treat files_per_cell as a ceiling and size it so a cell's bytes /
+    files_per_cell ≈ a sane parquet file (128 MB–1 GB); the salt keys on
+    the row id, so file sizes within a cell stay even regardless of
+    vector content."""
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -477,13 +483,12 @@ def ann_ivf_topk(
 
 def _vec_fp_col(vec: Column) -> Column:
     """Collision-resistant fingerprint of an embedding array — equal
-    vectors ⇔ equal fingerprints (xxhash64 of the joined components).
-    Distinct vectors colliding here still pass through the exact cosine
-    verify, so a fingerprint collision can never create a false pair —
-    the vector twin of dedup._sig_fp_col."""
-    return F.xxhash64(
-        F.concat_ws(",", F.transform(vec, lambda x: x.cast("string")))
-    )
+    vectors ⇔ equal fingerprints. Distinct vectors colliding here still
+    pass through the exact cosine verify, so a collision can never create
+    a false pair. Delegates to ``dedup._sig_fp_col`` so the minhash and
+    embedding guards share ONE fingerprint definition (a separator or
+    cast change lands in both or neither)."""
+    return _sig_fp_col(vec)
 
 
 def embedding_dedup_pairs(
@@ -493,6 +498,7 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) among LSH-bucket cohabitants — the vector twin of
@@ -505,18 +511,23 @@ def embedding_dedup_pairs(
     and verify at cosine 1, so they stay connected; cross-group clique
     edges among non-identical members of a diverted bucket are the
     documented recall trade. ``hot_bucket_cap=None`` skips the guard
-    (repo-wide convention), for corpora the caller can bound."""
+    (repo-wide convention), for corpora the caller can bound.
+    ``cache=False`` trades the base/guard cache entries for zero
+    block-manager footprint (see _guarded_band_candidates) — for sessions
+    looping over many corpora without spark.catalog.clearCache()."""
     base = _spread(df).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
-    ).cache()
+    )
+    if cache:
+        base = base.cache()
     banded = base.select(
         F.col("vid").alias("doc_id"),
         _vec_fp_col(F.col("vec")).alias("sig_fp"),
         "_bucket",
     )
-    cand = _guarded_band_candidates(banded, ["_bucket"], hot_bucket_cap)
+    cand = _guarded_band_candidates(banded, ["_bucket"], hot_bucket_cap, cache=cache)
     return (
         cand.join(
             base.select(F.col("vid").alias("id_a"), F.col("vec").alias("_va")), "id_a"
@@ -530,6 +541,29 @@ def embedding_dedup_pairs(
     )
 
 
+def embedding_hot_bucket_stats(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap: int = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Diversion visibility for the embedding guard — one row per over-cap
+    LSH bucket (band_id=0, band_key=bucket, n_docs), the counterpart of
+    ``dedup.hot_bucket_stats`` (which it delegates to over the same bucket
+    assignment the guard consumes). Run alongside an embedding dedup /
+    clustering pass: silent diversion would read as full pair coverage
+    when it isn't."""
+    from crawl4ai_spark.datapipe.dedup import hot_bucket_stats
+
+    banded = _spread(df).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("band_key"),
+    )
+    return hot_bucket_stats(df, id_col, vec_col, cap=cap, banded=banded)
+
+
 def cosine_cluster(
     df: DataFrame,
     planes: list[list[float]],
@@ -538,6 +572,7 @@ def cosine_cluster(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+    cache: bool = True,
 ) -> DataFrame:
     """T23 — the CosineStrategy cluster-then-group composition (behavioral
     spec: extraction_strategy.py:121-478: embed → hierarchical clustering
@@ -566,15 +601,13 @@ def cosine_cluster(
     cluster_label = min vec_id of the component."""
     import pandas as pd
 
-    base = (
-        _spread(df)
-        .select(
-            F.col(id_col).cast("long").alias("vid"),
-            F.col(vec_col).alias("vec"),
-            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-        )
-        .cache()
+    base = _spread(df).select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
+    if cache:
+        base = base.cache()
     # ε-edge candidates through the SAME guarded kernel as
     # embedding_dedup_pairs: buckets above hot_bucket_cap emit two linear
     # star layers instead of the quadratic clique. For the union-find
@@ -588,7 +621,7 @@ def cosine_cluster(
         _vec_fp_col(F.col("vec")).alias("sig_fp"),
         "bucket",
     )
-    cand = _guarded_band_candidates(banded, ["bucket"], hot_bucket_cap)
+    cand = _guarded_band_candidates(banded, ["bucket"], hot_bucket_cap, cache=cache)
     edges = (
         cand.join(
             base.select(

@@ -828,3 +828,13 @@ def test_embedding_pairs_and_cluster_hot_bucket_divert(spark):
     }
     assert {out[i] for i in range(12)} == {(0, 12)}
     assert {out[100 + i] for i in range(6)} == {(100, 6)}
+
+
+def test_embedding_hot_bucket_stats_reports_divert(spark):
+    from crawl4ai_spark.datapipe.similarity import embedding_hot_bucket_stats
+
+    rows = [(i, [1.0, 0.25]) for i in range(12)] + [(100, [0.25, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_hot_bucket_stats(df, [[1.0, 1.0]], cap=8).collect()
+    assert len(got) == 1 and got[0].n_docs == 13
+    assert embedding_hot_bucket_stats(df, [[1.0, 1.0]], cap=64).collect() == []
