@@ -595,7 +595,12 @@ def cosine_cluster(
     ``applyInPandas`` over (node ∪ edge) rows — integer-only union-find,
     no vectors past the first join. Clustering beyond a bucket boundary is
     out of scope by construction (documented LSH recall trade, same as
-    ann_lsh).
+    ann_lsh). The guarded edge join keeps a degenerate bucket's EDGE count
+    linear, but its node rows still gather into one union-find task — for
+    corpus-scale grouping where a single bucket may hold 10⁸ rows, compose
+    ``embedding_dedup_pairs`` → ``components.connected_components``
+    instead (fully distributed, log-diameter rounds); this operator's
+    per-bucket task mirrors the reference's in-memory clustering scope.
 
     Returns (vec_id, bucket, cluster_label, cluster_size) with
     cluster_label = min vec_id of the component."""
