@@ -139,6 +139,39 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def write_lsh_table(
+    df: DataFrame,
+    path: str,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+    files_per_bucket: int = 1,
+) -> None:
+    """Persist a corpus as a bucket-partitioned LSH table: assign each
+    vector its hyperplane bucket (map-side projection on the scan — no
+    shuffle to compute) and write parquet ``partitionBy(bucket_col)``.
+
+    The LSH twin of ``write_ivf_table``, and an even cleaner pruning
+    story: a query probes exactly ONE bucket (its own), so a recurring
+    query batch against ``ann_lsh_topk(..., bucket_col=...)`` reads only
+    the probed buckets' files — at 100 TB with 10 planes that is ≤
+    n_queries/1024 of the corpus bytes. Keep ``len(planes)`` ≤ ~12 (one
+    directory per bucket, 2^planes of them). The salted repartition on
+    (bucket, xxhash64(id) mod files_per_bucket) bounds output at ≤
+    2^planes × files_per_bucket files (slot collisions merge files, never
+    multiply them — same write shape as ``write_ivf_table``)."""
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias(bucket_col),
+    )
+    salted = assigned.repartition(
+        F.col(bucket_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket))
+    )
+    salted.write.partitionBy(bucket_col).mode("overwrite").parquet(path)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -147,20 +180,38 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates share the query's hyperplane bucket.
     Recall < 1 by construction (that's the trade); the bucket join is a
-    uniform int-key equi-join, the scale path for large query sets."""
-    c = _spread(corpus).select(
-        F.col(id_col),
-        F.col(vec_col).alias("_cvec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
-    )
+    uniform int-key equi-join, the scale path for large query sets.
+
+    With ``bucket_col`` naming a pre-assigned bucket column (a corpus
+    written by ``write_lsh_table`` under the SAME planes), assignment is
+    skipped and the corpus scan is filtered to the query batch's buckets
+    up-front — static partition pruning on the partitioned table, so
+    unprobed buckets are never read (one tiny job over the
+    broadcast-small query batch buys it, mirroring ``ann_ivf_topk``)."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
         lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
     )
+    if bucket_col is not None:
+        probed = sorted(
+            r["_bucket"] for r in q.select("_bucket").distinct().collect()
+        )
+        c = corpus.filter(F.col(bucket_col).isin(probed)).select(
+            F.col(id_col),
+            F.col(vec_col).alias("_cvec"),
+            F.col(bucket_col).cast("long").alias("_bucket"),
+        )
+    else:
+        c = _spread(corpus).select(
+            F.col(id_col),
+            F.col(vec_col).alias("_cvec"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+        )
     scored = c.join(F.broadcast(q), on="_bucket").filter(
         F.col(query_id_col) != F.col(id_col)
     ).withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))

@@ -838,3 +838,22 @@ def test_embedding_hot_bucket_stats_reports_divert(spark):
     got = embedding_hot_bucket_stats(df, [[1.0, 1.0]], cap=8).collect()
     assert len(got) == 1 and got[0].n_docs == 13
     assert embedding_hot_bucket_stats(df, [[1.0, 1.0]], cap=64).collect() == []
+
+
+def test_lsh_table_probe_matches_inline_and_prunes_scan(spark, sf_dir, tmp_path):
+    from crawl4ai_spark.datapipe.similarity import ann_lsh_topk, write_lsh_table
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
+    planes = hyperplanes(4, 64)
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "lsh_table")
+    write_lsh_table(e, path, planes, files_per_bucket=2)
+    files = list((tmp_path / "lsh_table").glob("lsh_bucket=*/*.parquet"))
+    assert 1 <= len(files) <= 32  # ≤ 2^4 buckets × 2, not 8 tasks × buckets
+    table = spark.read.parquet(path)
+    probed = ann_lsh_topk(table, q, planes, k=4, bucket_col="lsh_bucket")
+    inline = ann_lsh_topk(e, q, planes, k=4)
+    assert {tuple(r) for r in probed.collect()} == {tuple(r) for r in inline.collect()}
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lsh_bucket" in seg and "IN" in seg.upper()
