@@ -161,15 +161,16 @@ def write_lsh_table(
     (bucket, xxhash64(id) mod files_per_bucket) bounds output at ≤
     2^planes × files_per_bucket files (slot collisions merge files, never
     multiply them — same write shape as ``write_ivf_table``)."""
+    from crawl4ai_spark.storage import salted_partition_write
+
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket_col(F.col(vec_col), planes).alias(bucket_col),
     )
-    salted = assigned.repartition(
-        F.col(bucket_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket))
+    salted_partition_write(
+        assigned, path, [bucket_col], F.col(id_col), files_per_bucket
     )
-    salted.write.partitionBy(bucket_col).mode("overwrite").parquet(path)
 
 
 def ann_lsh_topk(
@@ -302,14 +303,22 @@ def ivf_centroids(
         raise ValueError("ivf_centroids: corpus has no non-empty vectors")
     # pin the quantizer dimension to the first (deterministic) seed and
     # drop wrong-dimension stragglers — a mixed-dim corpus otherwise
-    # builds a ragged centroid matrix that crashes every assignment batch
+    # builds a ragged centroid matrix that crashes every assignment batch.
+    # Also drop DUPLICATE seed vectors (boilerplate-heavy corpora put
+    # identical embeddings among the smallest hashes): a duplicated
+    # centroid can never win an assignment (ties go to the smaller cell
+    # id), so it would be a permanently empty cell — the effective
+    # quantizer silently shrinks and its twin cell doubles up. Fewer than
+    # n_cells centroids out is the honest result for such a corpus.
     dim = len(seeds[0][vec_col])
-    cents = [
-        (i, [float(x) for x in vec])
-        for i, vec in enumerate(
-            r[vec_col] for r in seeds if len(r[vec_col]) == dim
-        )
-    ]
+    seen: set[tuple[float, ...]] = set()
+    uniq: list[list[float]] = []
+    for r in seeds:
+        v = tuple(float(x) for x in r[vec_col])
+        if len(v) == dim and v not in seen:
+            seen.add(v)
+            uniq.append(list(v))
+    cents = list(enumerate(uniq))
     if iters <= 0:
         return cents
     # same dimension pin for Lloyd: every surviving training vector has
@@ -368,10 +377,13 @@ def ivf_probe_cells_col(
     vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
 ) -> Column:
     """Array of the ``nprobe`` nearest cell ids for a query vector
-    (cosine-descending, ties to the larger id — probing order does not
-    affect results, only which cells are visited). Query batches are
-    contract-small, so the per-row tie-exact sort is a plain loop over the
-    numpy score matrix."""
+    (cosine-descending, ties to the SMALLER id — the same tie-break as
+    ``ivf_cell_col``'s assignment, which matters: with duplicate centroids
+    (a boilerplate-heavy seed set) every tied vector is ASSIGNED to the
+    smallest tied cell, so a probe that visited the larger tied cell first
+    would read an empty cell and miss true neighbors at low nprobe).
+    Query batches are contract-small, so the per-row tie-exact sort is a
+    plain loop over the numpy score matrix."""
     cids, mat = _centroid_matrix(centroids)
     dim = mat.shape[1]
     take = min(nprobe, len(cids))
@@ -384,7 +396,7 @@ def ivf_probe_cells_col(
                 [
                     int(cids[j])
                     for j in sorted(
-                        range(len(cids)), key=lambda j: (-row[j], -cids[j])
+                        range(len(cids)), key=lambda j: (-row[j], cids[j])
                     )[:take]
                 ]
                 for row in scores
@@ -428,15 +440,16 @@ def write_ivf_table(
     files_per_cell ≈ a sane parquet file (128 MB–1 GB); the salt keys on
     the row id, so file sizes within a cell stay even regardless of
     vector content."""
+    from crawl4ai_spark.storage import salted_partition_write
+
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
         ivf_cell_col(F.col(vec_col), centroids).alias(cell_col),
     )
-    salted = assigned.repartition(
-        F.col(cell_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell))
+    salted_partition_write(
+        assigned, path, [cell_col], F.col(id_col), files_per_cell
     )
-    salted.write.partitionBy(cell_col).mode("overwrite").parquet(path)
 
 
 def ann_ivf_topk(

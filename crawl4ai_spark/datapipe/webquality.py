@@ -56,8 +56,10 @@ def lines_col(text: Column | str) -> Column:
     return F.filter(trimmed, lambda l: l != "")
 
 
-def mean_word_len_col(text: Column | str) -> Column:
-    ws = words_col(text)
+def mean_word_len_col(text: Column | str, ws: Column | None = None) -> Column:
+    """Mean word length; pass a pre-staged word array via ``ws`` to skip
+    re-tokenizing (the staged-frame path does)."""
+    ws = words_col(text) if ws is None else ws
     total = F.aggregate(
         ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
@@ -67,20 +69,20 @@ def mean_word_len_col(text: Column | str) -> Column:
     )
 
 
-def symbol_word_ratio_col(text: Column | str) -> Column:
+def symbol_word_ratio_col(text: Column | str, ws: Column | None = None) -> Column:
     """(# count + ellipsis count) / words — Gopher's symbol screen."""
     c = _c(text)
     hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
     ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0)))
-    n = F.size(words_col(c))
+    n = F.size(words_col(c) if ws is None else ws)
     return F.when(
         n > 0, (hashes + ellipses).cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
 
 
-def alpha_word_ratio_col(text: Column | str) -> Column:
+def alpha_word_ratio_col(text: Column | str, ws: Column | None = None) -> Column:
     """Fraction of words containing at least one alphabetic character."""
-    ws = words_col(text)
+    ws = words_col(text) if ws is None else ws
     hits = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
     n = F.size(ws)
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(
@@ -88,9 +90,15 @@ def alpha_word_ratio_col(text: Column | str) -> Column:
     )
 
 
-def stopword_types_col(text: Column | str) -> Column:
-    """How many DISTINCT words of GOPHER_STOPWORDS appear in the document."""
-    lower = F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda w: w != "")
+def stopword_types_col(
+    text: Column | str, lower_ws: Column | None = None
+) -> Column:
+    """How many DISTINCT words of GOPHER_STOPWORDS appear in the document.
+    Tokenization is split-then-lower (the same lowered-word array the
+    staged frame and the oracle use)."""
+    lower = (
+        F.transform(words_col(text), F.lower) if lower_ws is None else lower_ws
+    )
     stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     return F.size(F.filter(stops, lambda s: F.array_contains(lower, s))).cast(
         "long"
@@ -142,32 +150,12 @@ def _gopher_struct(
     the metrics struct. ``gopher_metrics`` feeds it inline expressions;
     ``gopher_metrics_frame`` feeds it staged columns — so the two paths
     cannot drift (a formula tweak lands in both or neither)."""
-    n = F.size(gw)
-    nd = n.cast("double")
-    word_chars = F.aggregate(
-        gw, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
-    ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0)))
-    alpha_hits = F.size(F.filter(gw, lambda w: w.rlike("[A-Za-z]")))
-    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     return F.struct(
-        n.cast("long").alias("n_words"),
-        F.round(
-            F.when(n > 0, word_chars.cast("double") / nd).otherwise(F.lit(0.0)), 6
-        ).alias("mean_word_len"),
-        F.round(
-            F.when(n > 0, (hashes + ellipses).cast("double") / nd).otherwise(
-                F.lit(0.0)
-            ),
-            6,
-        ).alias("symbol_word_ratio"),
-        F.round(
-            F.when(n > 0, alpha_hits.cast("double") / nd).otherwise(F.lit(0.0)), 6
-        ).alias("alpha_word_ratio"),
-        F.size(F.filter(stops, lambda s: F.array_contains(gwl, s)))
-        .cast("long")
-        .alias("stopword_types"),
+        F.size(gw).cast("long").alias("n_words"),
+        F.round(mean_word_len_col(c, ws=gw), 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio_col(c, ws=gw), 6).alias("symbol_word_ratio"),
+        F.round(alpha_word_ratio_col(c, ws=gw), 6).alias("alpha_word_ratio"),
+        stopword_types_col(c, lower_ws=gwl).alias("stopword_types"),
         F.round(dup_frac_from_parts(gls), 6).alias("dup_line_frac"),
         F.round(dup_char_frac_from_parts(gls), 6).alias("dup_line_char_frac"),
         # paper-exact char fraction (Table A1 row 12), shared with the

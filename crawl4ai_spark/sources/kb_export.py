@@ -44,20 +44,21 @@ def export_knowledge_base(
         F.col("visit_order").cast("long").alias("crawl_order"),
     ]
     out = results.select(*cols)
+    if fmt not in ("jsonl", "parquet"):
+        raise ValueError(f"unsupported export format: {fmt}")
     if partition_by:
-        out = out.repartition(
-            *[F.col(c) for c in partition_by],
-            F.pmod(F.xxhash64(F.col("url")), F.lit(files_per_partition)),
+        from crawl4ai_spark.storage import salted_partition_write
+
+        salted_partition_write(
+            out, path, partition_by, F.col("url"), files_per_partition,
+            fmt="json" if fmt == "jsonl" else fmt,
         )
+        return
     writer = out.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
     if fmt == "jsonl":
         writer.json(path)
-    elif fmt == "parquet":
-        writer.parquet(path)
     else:
-        raise ValueError(f"unsupported export format: {fmt}")
+        writer.parquet(path)
 
 
 def import_knowledge_base(

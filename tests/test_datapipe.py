@@ -182,14 +182,17 @@ def test_ivf_centroids_deterministic_and_lloyd(spark):
     c1 = ivf_centroids(emb, 4)
     c2 = ivf_centroids(emb, 4)
     assert c1 == c2  # layout-independent hash seeding
-    assert [cid for cid, _ in c1] == [0, 1, 2, 3]
+    # contiguous cell ids; duplicate seed VECTORS are deduped (this corpus
+    # has repeats among the 4 smallest hashes), so ≤ 4 distinct centroids
+    assert [cid for cid, _ in c1] == list(range(len(c1))) and 1 <= len(c1) <= 4
+    assert len({tuple(v) for _, v in c1}) == len(c1)
     refined = ivf_centroids(emb, 4, iters=2)
-    assert len(refined) == 4 and refined != c1  # Lloyd moved the means
+    assert len(refined) == len(c1) and refined != c1  # Lloyd moved the means
     # assignment is total: every vector lands in exactly one valid cell
     cells = emb.select(
         ivf_cell_col(F.col("embedding"), refined).alias("c")
     ).collect()
-    assert all(0 <= r.c < 4 for r in cells)
+    assert all(0 <= r.c < len(refined) for r in cells)
 
 
 def test_hyperplanes_deterministic():
@@ -857,3 +860,21 @@ def test_lsh_table_probe_matches_inline_and_prunes_scan(spark, sf_dir, tmp_path)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     seg = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "lsh_bucket" in seg and "IN" in seg.upper()
+
+
+def test_ivf_duplicate_seed_vectors_dedupe_and_probe_alignment(spark):
+    """Boilerplate corpora put identical embeddings among the seed hashes:
+    the quantizer must dedupe them (a duplicated centroid can never win an
+    assignment, so it would be a permanently empty cell), and probe
+    tie-breaks must match assignment tie-breaks (smallest cell id) so a
+    low-nprobe query never reads an empty twin cell while its true
+    neighbors sit in the other."""
+    rows = [(i, [1.0, 0.0]) for i in range(20)] + [(100, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(emb, 4)
+    vecs = [tuple(v) for _, v in cents]
+    assert len(vecs) == len(set(vecs)) <= 2  # deduped: ≤ 2 distinct vectors
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<double>")
+    got = ann_ivf_topk(emb, q, nprobe=1, k=3, centroids=cents).collect()
+    # nprobe=1 must find the exact duplicates of the query, not an empty cell
+    assert len(got) == 3 and all(r.cosine == 1.0 for r in got)
