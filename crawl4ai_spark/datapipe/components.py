@@ -63,6 +63,11 @@ def connected_components(
       graphs are quasi-cliques where label propagation converges in a
       handful of cheaper rounds; pathological chain graphs — the case the
       old code raised on — now complete via the contraction)."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'auto', 'label' or "
+            "'star'"
+        )
     if algorithm == "star":
         return connected_components_star(edges, src, dst)
     try:

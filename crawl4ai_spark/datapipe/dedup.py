@@ -286,12 +286,17 @@ def hot_bucket_stats(
     ``_banded_from_signatures`` frame a dedup pass already built, or a
     ``<prefix>_bands`` table read with band_id selected) to skip
     recomputing the shingle+signature stage — the expensive part — and
-    guarantee the diagnostic describes the exact band table the dedup ran."""
+    guarantee the diagnostic describes the exact band table the dedup ran.
+    A ``write_minhash_tables`` bands table folds band_id into band_key and
+    carries no band_id column; it is accepted as-is (band_id reported
+    as 0, the same convention as ``embedding_hot_bucket_stats``)."""
     if banded is None:
         rows = num_hashes // bands
         sh = _shingle_frame(df, id_col, text_col, k)
         sig_df = _signatures_from_shingles(sh, num_hashes, hash_fn or portable_hash)
         banded = _banded_from_signatures(sig_df, bands, rows, hash_fn)
+    if "band_id" not in banded.columns:
+        banded = banded.withColumn("band_id", F.lit(0))
     return (
         banded.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))

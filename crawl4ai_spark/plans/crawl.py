@@ -566,6 +566,20 @@ class CrawlRun:
             new_urls, n_new = candidates, n_candidates
         t = _lap("discover_dedup", t)
 
+        n_deferred = n_frontier - n_selected
+        # the fetch slice is deduped to 1 row/url (pages_unique contract),
+        # so every selected row becomes exactly one result row; a negative
+        # here means the manifest counters are about to corrupt — fail loud
+        # BEFORE the lineage commit below, or a retried iteration would
+        # double-append its lineage rows (a real raise, not an assert: this
+        # guard must survive python -O)
+        if n_deferred < 0:
+            raise RuntimeError(
+                f"fetch fan-out: n_results={n_results} exceeds "
+                f"n_frontier={n_frontier} — pages table has duplicate urls "
+                "but pages_unique=True was set?"
+            )
+
         # 7. per-partition lineage + commit. Two row kinds per iteration:
         # 'fetch' rows carry per-partition urls-in/fetched/blocked of the
         # extraction stage (the skew evidence: a salted hot host shows up
@@ -605,18 +619,6 @@ class CrawlRun:
         def _parts(n: int) -> int:
             return max(1, min(32, n // 50_000 + 1))
 
-        n_deferred = n_frontier - n_selected
-        # the fetch slice is deduped to 1 row/url (pages_unique contract),
-        # so every selected row becomes exactly one result row; a negative
-        # here means the manifest counters are about to corrupt — fail loud
-        # before committing anything (a real raise, not an assert: this
-        # guard must survive python -O)
-        if n_deferred < 0:
-            raise RuntimeError(
-                f"fetch fan-out: n_results={n_results} exceeds "
-                f"n_frontier={n_frontier} — pages table has duplicate urls "
-                "but pages_unique=True was set?"
-            )
         if n_deferred == 0:
             # the whole frontier was selected (the common steady state under
             # a generous budget) — nothing is deferred, so the next frontier
