@@ -364,3 +364,28 @@ def test_multi_capture_pages_fetch_latest_and_counters_sane(spark, pages):
     want = {(r.url, r.visit_order)
             for r in clean.results().select("url", "visit_order").collect()}
     assert got == want
+
+
+def test_pages_unique_fanout_raises_before_lineage_commit(spark, pages):
+    """pages_unique=True on a corpus that actually has duplicate captures
+    must fail loud (RuntimeError naming the fan-out) and must raise BEFORE
+    the iteration's lineage commit — a retried iteration must not
+    double-append lineage rows."""
+    dup_pages = pages.unionByName(
+        pages.withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 DAY"))
+    )
+    run = CrawlRun(
+        spark,
+        dup_pages,
+        build_robots(spark),
+        build_seeds(spark, 3),
+        tempfile.mkdtemp(prefix="c4ai_fanout_"),
+        CrawlConfig(
+            mode="bfs", max_pages=30, max_depth=2, host_budget=5,
+            pages_unique=True,
+        ),
+    )
+    with pytest.raises(RuntimeError, match="fan-out"):
+        run.run(max_iterations=1)
+    lineage = run.lineage()
+    assert lineage is None or lineage.count() == 0
