@@ -34,7 +34,18 @@ def url_pattern_filter(url: Column, patterns: list[str], reverse: bool = False) 
     semantics: ``*.ext`` suffix, ``prefix/*`` with path-boundary check,
     ``*.domain.com`` with scheme, regex passthrough for ^/$/\\d patterns,
     fnmatch-translated globs otherwise. OR across patterns; ``reverse``
-    negates the result."""
+    negates the result.
+
+    DOCUMENTED DIVERGENCE (deliberate, the reference's substitutions are
+    applied BEFORE fnmatch.translate, which then re-escapes them —
+    deep_crawling/filters.py:193-204): upstream ``'**'`` becomes
+    ``'.*'`` and translate escapes the dot, so ``a/**`` compiles to
+    ``a/\\..*`` — it only matches paths whose next char is a literal
+    ``'.'``; upstream ``{a,b}`` becomes ``(a|b)`` and translate escapes
+    the parens/pipe, matching the literal text ``(a|b)``. This port
+    implements the evident intent instead: ``**`` matches any characters
+    and ``{a,b}`` is a real alternation (the oracle-checked contract
+    encodes these semantics)."""
     if isinstance(patterns, str):
         patterns = [patterns]
     conds: list[Column] = []

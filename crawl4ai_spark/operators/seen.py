@@ -142,6 +142,7 @@ def dedup_against_seen(
     key: str = "url_norm",
     bloom: BloomFilterSet | None = None,
     seen_unique: bool = False,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup: candidates not present in ``seen``. With a bloom, rows
     the bloom calls definitely-new bypass the anti-join shuffle; only
@@ -150,17 +151,29 @@ def dedup_against_seen(
     already distinct (true for the crawl's seen table — only anti-joined
     rows are ever appended), skipping a whole dedup shuffle; an anti-join's
     result is unaffected by duplicate build-side keys, so this is purely a
-    plan optimization."""
+    plan optimization.
+
+    The bloom split consumes the candidate plan TWICE (the two filter
+    branches of the union). If ``candidates`` is not already materialized,
+    everything above the last exchange — including the bloom's Arrow UDF —
+    runs once per branch. Callers on a hot path should pre-compute the
+    probe as a boolean ``flag_col`` on a persisted frame (see the crawl
+    loop, which folds it under a cache a later count job materializes
+    anyway) so the UDF runs once per row."""
     if seen is None:
         return candidates
     seen_keys = seen.select(key) if seen_unique else seen.select(key).distinct()
-    if bloom is None:
+    if bloom is None and flag_col is None:
         return candidates.join(seen_keys, on=key, how="left_anti")
-    spark = candidates.sparkSession
-    flagged = candidates.withColumn(
-        "_maybe_seen", bloom_maybe_contains_col(spark, bloom, F.col(key))
-    )
-    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    if flag_col is None:
+        spark = candidates.sparkSession
+        flagged = candidates.withColumn(
+            "_maybe_seen", bloom_maybe_contains_col(spark, bloom, F.col(key))
+        )
+        flag_col = "_maybe_seen"
+    else:
+        flagged = candidates
+    definitely_new = flagged.filter(~F.col(flag_col)).drop(flag_col)
+    needs_check = flagged.filter(F.col(flag_col)).drop(flag_col)
     checked = needs_check.join(seen_keys, on=key, how="left_anti")
     return definitely_new.unionByName(checked)

@@ -82,20 +82,31 @@ def texttile_segments(text: str, w: int = 20, k: int = 6) -> list[str]:
     if not boundaries:
         return [text]
 
-    # map pseudo-sentence boundaries back to character offsets: the end of
-    # the boundary'th pseudo-sentence's last token occurrence
+    # map pseudo-sentence boundaries back to character offsets (the end of
+    # the boundary'th pseudo-sentence's last token occurrence), then snap
+    # each to the NEAREST paragraph break as Hearst's algorithm does —
+    # published TextTiling emits paragraph-aligned segments, not
+    # mid-sentence token cuts. Texts without paragraph breaks (single-line
+    # word streams) keep the raw token-aligned offset.
     spans = [m.span() for m in _TOKEN_RE.finditer(text.lower())]
-    segments: list[str] = []
-    prev_char = 0
+    para_breaks = [m.end() for m in re.finditer(r"\n[ \t]*\n+", text)]
+    cuts: list[int] = []
     for b in boundaries:
         tok_idx = b * w - 1
         if tok_idx >= len(spans):
             continue
         cut = spans[tok_idx][1]
+        if para_breaks:
+            cut = min(para_breaks, key=lambda p: (abs(p - cut), p))
+        if 0 < cut < len(text) and (not cuts or cut > cuts[-1]):
+            cuts.append(cut)
+    segments: list[str] = []
+    prev_char = 0
+    for cut in cuts:
         seg = text[prev_char:cut]
         if seg.strip():
             segments.append(seg)
-        prev_char = cut
+            prev_char = cut
     tail = text[prev_char:]
     if tail.strip():
         segments.append(tail)

@@ -24,7 +24,7 @@ reads scalar aggregates.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,7 +56,6 @@ class AdaptiveConfig:
     max_depth: int = 5
     consistency_max_docs: int = 50
     crawl: CrawlConfig | None = None  # advanced override of the inner config
-    metrics_history: list = field(default_factory=list)
 
 
 class AdaptiveCrawl:
@@ -90,7 +89,19 @@ class AdaptiveCrawl:
         self.run = CrawlRun(spark, pages, robots, seeds, workdir, cfg)
         self.new_terms_history: list[int] = []
         self.pages_history: list[int] = []
+        # mutable RUN state lives on the instance (a config reused across
+        # two AdaptiveCrawl runs must not interleave their histories)
+        self.metrics_history: list[dict] = []
         self._prev_term_count = 0
+        # resume: the workdir may already hold a KB (crawl_until_confident
+        # is "resumable like the underlying CrawlRun"). Without seeding,
+        # the first step() would book the ENTIRE existing KB vocabulary as
+        # that step's "new terms", and the next step's small real delta
+        # would read as a collapsed discovery rate — a premature
+        # 'saturated' stop. One count job, paid only on actual resume.
+        kb = self._kb()
+        if kb is not None:
+            self._prev_term_count = kb_term_stats(kb, "url", "text").count()
 
     # -- statistics over the accumulated knowledge base ----------------------
 
@@ -150,7 +161,7 @@ class AdaptiveCrawl:
 
     _EMPTY_METRICS = {
         "coverage": 0.0, "consistency": 0.0, "saturation": 0.0,
-        "confidence": 0.0, "pages": 0,
+        "confidence": 0.0, "pages": 0, "terms": 0,
     }
 
     def metrics(self) -> dict:
@@ -194,7 +205,7 @@ class AdaptiveCrawl:
         m = self._metrics_from(kb, stats, n_docs, term_count)
         stats.unpersist()
         kb.unpersist()
-        self.config.metrics_history.append(m)
+        self.metrics_history.append(m)
         return {**s, **m}
 
     def should_stop(self, m: dict) -> str | None:

@@ -523,10 +523,26 @@ class CrawlRun:
         #    bloom build+broadcast)
         seen_df = self.t_seen.read(self.spark)
         bloom = None
+        flagged = None
         if seen_df is not None and st["n_seen"] >= cfg.bloom_min_seen:
             bloom = build_bloom(seen_df, num_bits=cfg.bloom_bits)
+            # pre-compute the bloom probe ONCE under a persist: the split
+            # inside dedup_against_seen consumes the candidate plan twice,
+            # and without this boundary the Arrow probe UDF (plus the
+            # post-exchange aggregate above it) would run once per branch.
+            # The persist costs NO extra job — the disc_parts count below
+            # materializes it on the way to the downstream cache — and is
+            # released as soon as that count returns.
+            from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
+
+            flagged = candidates.withColumn(
+                "_maybe_seen",
+                bloom_maybe_contains_col(self.spark, bloom, F.col("url_norm")),
+            ).persist()
+            candidates = flagged
         new_urls = dedup_against_seen(
-            candidates, seen_df, bloom=bloom, seen_unique=True
+            candidates, seen_df, bloom=bloom, seen_unique=True,
+            flag_col="_maybe_seen" if flagged is not None else None,
         )
 
         # capacity top-k: if more new URLs than remaining page budget, keep
@@ -549,6 +565,10 @@ class CrawlRun:
             F.spark_partition_id().alias("partition_id")
         ).agg(F.count(F.lit(1)).alias("emitted")).collect()
         n_candidates = sum(r["emitted"] for r in disc_parts)
+        if flagged is not None:
+            # downstream consumers all read the candidates cache just
+            # materialized above; the flagged intermediate is done
+            flagged.unpersist()
         remaining_after = remaining - n_results
         if remaining_after <= 0:
             new_urls, n_new = candidates.limit(0), 0

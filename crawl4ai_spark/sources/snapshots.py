@@ -50,7 +50,14 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
 
     def _write_data(self, df: DataFrame) -> str:
-        name = "data-" + uuid.uuid4().hex
+        """Write to a STAGING dir (dot-prefixed: invisible to Spark readers
+        and to ``stream()``'s ``data-*`` glob); ``_commit`` renames it to
+        its ``data-*`` name just before the manifest commit. A writer that
+        crashes mid-job therefore leaves only a ``.staging-*`` dir no
+        reader can observe — without this, ``stream()`` would deliver the
+        crashed (uncommitted) write and a resumed run's re-append would
+        double its rows downstream."""
+        name = ".staging-" + uuid.uuid4().hex
         path = os.path.join(self.root, name)
         df.write.mode("overwrite").parquet(path)
         return name
@@ -90,7 +97,8 @@ class SnapshotTable:
         that ``spark.read.parquet`` unions with Spark-written dirs."""
         import pyarrow.parquet as pq
 
-        name = "data-" + uuid.uuid4().hex
+        # staged like _write_data: published to data-* by _commit
+        name = ".staging-" + uuid.uuid4().hex
         path = os.path.join(self.root, name)
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
@@ -101,8 +109,20 @@ class SnapshotTable:
         return self._commit(m, list(dirs) + [name], meta)
 
     def _commit(self, manifest: dict, dirs: list[str], meta: dict | None) -> int:
+        # publish staged dirs: rename .staging-<hex> -> data-<hex> (atomic
+        # on POSIX) immediately before the manifest commit. The window in
+        # which an uncommitted data-* dir can exist (and pollute stream()'s
+        # glob on a crash) is now the instant between this rename and the
+        # manifest replace — not the whole Spark write job.
+        published = []
+        for d in dirs:
+            if d.startswith(".staging-"):
+                new = "data-" + d[len(".staging-"):]
+                os.replace(os.path.join(self.root, d), os.path.join(self.root, new))
+                d = new
+            published.append(d)
         sid = (manifest["current"] or 0) + 1
-        manifest["snapshots"].append({"id": sid, "dirs": dirs, "meta": meta or {}})
+        manifest["snapshots"].append({"id": sid, "dirs": published, "meta": meta or {}})
         manifest["current"] = sid
         self._commit_manifest(manifest)
         return sid
@@ -131,10 +151,25 @@ class SnapshotTable:
         the current snapshot; at least one snapshot must exist.
 
         Pair with ``.trigger(availableNow=True)`` for catch-up batches or
-        a processing-time trigger to tail a live crawl."""
+        a processing-time trigger to tail a live crawl.
+
+        The glob sees every PUBLISHED data dir, so the append-only contract
+        is enforced here (a table that ever saw ``replace()`` would re-emit
+        dropped dirs): any snapshot whose dir set is not a superset of its
+        predecessor's raises. Uncommitted writes never match the glob —
+        they live in ``.staging-*`` until the commit publishes them (see
+        ``_write_data``)."""
         current = self.read(spark)
         if current is None:
             raise ValueError(f"cannot stream {self.root}: no committed snapshot")
+        snaps = self._read_manifest()["snapshots"]
+        for prev, nxt in zip(snaps, snaps[1:]):
+            if not set(prev["dirs"]) <= set(nxt["dirs"]):
+                raise ValueError(
+                    f"cannot stream {self.root}: snapshot {nxt['id']} dropped "
+                    f"dirs of snapshot {prev['id']} (a replace() happened) — "
+                    "stream() only tails append-only tables"
+                )
         return (
             spark.readStream.schema(current.schema)
             .parquet(os.path.join(self.root, "data-*"))

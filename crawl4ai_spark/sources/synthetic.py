@@ -197,7 +197,12 @@ def build_robots(spark: SparkSession) -> DataFrame:
 
 
 def build_seeds(spark: SparkSession, k: int = 3, ntot: int | None = None) -> DataFrame:
-    """Seed list: the first k doc ids' URLs, stable input order."""
+    """Seed list: the first k doc ids' URLs, stable input order. ``ntot``
+    (the corpus page count) clamps k so no seed references a page that
+    does not exist — without it a small corpus would bootstrap with
+    phantom URLs that fetch as misses and skew the fetched/page counters."""
+    if ntot is not None:
+        k = min(k, ntot)
     rows = spark.range(k).withColumnRenamed("id", "doc_id")
     rows.createOrReplaceTempView("_seed_ids")
     url = _url("doc_id", "spark")

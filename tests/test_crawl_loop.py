@@ -389,3 +389,61 @@ def test_pages_unique_fanout_raises_before_lineage_commit(spark, pages):
         run.run(max_iterations=1)
     lineage = run.lineage()
     assert lineage is None or lineage.count() == 0
+
+
+def test_stream_never_sees_uncommitted_or_replaced_data(spark, tmp_path):
+    """A writer that crashes between the parquet write and the manifest
+    commit must leave nothing a stream can deliver (writes are staged in
+    dot-dirs and only renamed to data-* at commit time), and stream()
+    must reject tables whose history contains a replace()."""
+    import glob as _glob
+    import os
+
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(5).withColumnRenamed("id", "v")
+    t.append(df)
+    # simulate the crash: data written, manifest never committed
+    staged = t._write_data(spark.range(100, 103).withColumnRenamed("id", "v"))
+    assert staged.startswith(".staging-")
+    # nothing uncommitted matches the published glob ...
+    assert len(_glob.glob(os.path.join(t.root, "data-*"))) == 1
+    # ... so batch read AND the stream's source see only committed rows
+    assert t.read(spark).count() == 5
+    files = spark.read.parquet(os.path.join(t.root, "data-*")).count()
+    assert files == 5
+    # the resumed run re-appends; the orphaned staging dir stays invisible
+    t.append(spark.range(100, 103).withColumnRenamed("id", "v"))
+    assert t.read(spark).count() == 8
+    assert spark.read.parquet(os.path.join(t.root, "data-*")).count() == 8
+
+    # replace() history is rejected by stream()
+    r = SnapshotTable(str(tmp_path / "rep"))
+    r.append(df)
+    r.replace(spark.range(2).withColumnRenamed("id", "v"))
+    with pytest.raises(ValueError, match="append-only"):
+        r.stream(spark)
+
+
+def test_bloom_path_visit_set_matches_exact_path(spark, pages):
+    """Force the bloom pre-filter on (bloom_min_seen=1: engages from
+    iteration 2) — the visit set must equal the exact anti-join run's,
+    exercising the precomputed-flag split end-to-end."""
+    base = dict(mode="bfs", max_pages=60, max_depth=3, host_budget=5)
+    runs = {}
+    for tag, extra in (
+        ("exact", {}),
+        ("bloom", {"bloom_min_seen": 1, "bloom_bits": 1 << 16}),
+    ):
+        run = CrawlRun(
+            spark, pages, build_robots(spark), build_seeds(spark, 3),
+            tempfile.mkdtemp(prefix=f"c4ai_bloom_{tag}_"),
+            CrawlConfig(**base, **extra),
+        )
+        run.run(max_iterations=4)
+        runs[tag] = {
+            (r.url, r.visit_order)
+            for r in run.results().select("url", "visit_order").collect()
+        }
+    assert runs["bloom"] == runs["exact"]

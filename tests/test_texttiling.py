@@ -44,3 +44,19 @@ def test_topic_chunks_surface():
     assert all(set(c) == {"segment", "keywords"} for c in out)
     assert any("spark" in c["keywords"] for c in out)
     assert any("butter" in c["keywords"] or "recipe" in c["keywords"] for c in out)
+
+
+def test_paragraph_text_snaps_boundary_to_paragraph_break():
+    a = ("spark cluster executor shuffle partition dataframe catalyst "
+         "optimizer stage task broadcast join aggregate ") * 9
+    b = ("recipe butter flour sugar oven baking dough chocolate vanilla "
+         "cookie pastry cream whisk ") * 9
+    text = a.strip() + "\n\n" + a.strip() + "\n\n" + b.strip() + "\n\n" + b.strip()
+    segs = texttile_segments(text, w=20, k=4)
+    assert len(segs) >= 2
+    # every inner boundary falls on a paragraph break: each segment except
+    # the last ends at a blank-line offset, so no segment starts or ends
+    # mid-sentence
+    for seg in segs[:-1]:
+        assert seg.endswith("\n\n"), repr(seg[-30:])
+    assert "".join(segs) == text
