@@ -175,6 +175,11 @@ def bm25_okapi_scores(
         return []
     doc_lens = [len(d) for d in corpus]
     avgdl = sum(doc_lens) / n_docs
+    if avgdl == 0:
+        # every chunk tokenized to nothing (all-stopword page): tf is 0
+        # everywhere so every score is 0 — return that instead of letting
+        # the dl/avgdl term ZeroDivisionError the whole Spark task
+        return [0.0] * n_docs
     df: dict[str, int] = {}
     for doc in corpus:
         for term in set(doc):

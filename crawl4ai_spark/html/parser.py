@@ -23,9 +23,6 @@ VOID_TAGS = frozenset(
     }
 )
 
-# Tags whose raw content is text, not markup.
-RAW_TEXT_TAGS = frozenset({"script", "style"})
-
 
 class Node:
     __slots__ = ("tag", "attrs", "children", "parent")
@@ -106,13 +103,23 @@ class Node:
         return "".join(parts)
 
     def word_count(self) -> int:
-        total = 0
-        for c in self.children:
-            if c.is_text:
-                total += len(c.attrs["text"].split())
-            else:
-                total += c.word_count()
-        return total
+        """Word count the way the reference prunes (content_scraping_
+        strategy.py: len(get_text(strip=True).split())): each text run
+        stripped, runs CONCATENATED with no separator, then split — so
+        '<b>Read</b>More' counts 1 word, not 2."""
+        parts: list[str] = []
+
+        def walk(node: "Node") -> None:
+            for c in node.children:
+                if c.is_text:
+                    t = c.attrs["text"].strip()
+                    if t:
+                        parts.append(t)
+                else:
+                    walk(c)
+
+        walk(self)
+        return len("".join(parts).split())
 
     # -- mutation ------------------------------------------------------------
 

@@ -90,58 +90,6 @@ def _single_string(node: Node) -> str | None:
         node = only
 
 
-def node_score(node: Node, min_word_threshold: int | None = None) -> float:
-    """The reference's composite score (content_filter_strategy.py:729-764)."""
-    text = _text_concat(node)
-    text_len = len(text)
-    if min_word_threshold:
-        if text.count(" ") + 1 < min_word_threshold:
-            return -1.0
-    tag_len = len(node.serialize_children())
-    link_text_len = 0
-    for c in node.children:
-        if not c.is_text and c.tag == "a":
-            s = _single_string(c)
-            if s:
-                link_text_len += len(s.strip())
-
-    score = 0.0
-    density = text_len / tag_len if tag_len > 0 else 0
-    score += METRIC_WEIGHTS["text_density"] * density
-    link_density = 1 - (link_text_len / text_len if text_len > 0 else 0)
-    score += METRIC_WEIGHTS["link_density"] * link_density
-    score += METRIC_WEIGHTS["tag_weight"] * TAG_WEIGHTS.get(node.tag, 0.5)
-    class_score = 0.0
-    if node.attrs.get("class"):
-        if _NEGATIVE.match(node.attrs["class"]):
-            class_score -= 0.5
-    if node.attrs.get("id"):
-        if _NEGATIVE.match(node.attrs["id"]):
-            class_score -= 0.5
-    score += METRIC_WEIGHTS["class_id_weight"] * max(0, class_score)
-    score += METRIC_WEIGHTS["text_length"] * math.log(text_len + 1)
-    return score  # total_weight is 1.0 with every metric enabled
-
-
-def _dynamic_threshold(node: Node, base: float) -> float:
-    text_len = len(_text_concat(node))
-    tag_len = len(node.serialize_children())
-    link_text_len = 0
-    for c in node.children:
-        if not c.is_text and c.tag == "a":
-            s = _single_string(c)
-            if s:
-                link_text_len += len(s.strip())
-    threshold = base
-    if TAG_IMPORTANCE.get(node.tag, 0.7) > 1:
-        threshold *= 0.8
-    if (text_len / tag_len if tag_len > 0 else 0) > 0.4:
-        threshold *= 0.9
-    if (link_text_len / text_len if text_len > 0 else 1) > 0.6:
-        threshold *= 1.2
-    return threshold
-
-
 def _annotate(root: Node) -> dict[int, tuple[int, int, int]]:
     """ONE post-order pass computing, per node id: (text_len, n_spaces,
     ser_children_len) — the scoring inputs that the naive restatement (and
@@ -208,8 +156,9 @@ def _link_text_len(node: Node) -> int:
 def _score_annotated(
     node: Node, memo: dict, min_word_threshold: int | None
 ) -> float:
-    """node_score over precomputed (text_len, n_spaces, tag_len) — same
-    formula, O(1) per node instead of re-serializing the subtree."""
+    """The reference's composite node score (content_filter_strategy.py
+    :729-764) over precomputed (text_len, n_spaces, tag_len) — O(1) per
+    node instead of re-serializing the subtree."""
     text_len, n_spaces, tag_len = memo[id(node)]
     if min_word_threshold:
         if n_spaces + 1 < min_word_threshold:

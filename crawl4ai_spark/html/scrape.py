@@ -24,7 +24,9 @@ from crawl4ai_spark.html.parser import Node, parse_html
 
 REMOVE_TAGS = ("script", "style", "link", "meta", "noscript")
 
-_IMG_FORMATS = (".jpg", ".jpeg", ".png", ".webp", ".gif", ".svg", ".avif")
+# substring-matched across src/data-src/srcset/data-srcset, the
+# reference's frozenset (content_scraping_strategy.py:448)
+_IMG_FORMATS = ("jpg", "jpeg", "png", "webp", "avif", "gif")
 
 _META_KEEP = frozenset({"description", "keywords", "author"})
 _META_PROP_PREFIXES = ("og:", "twitter:", "article:")
@@ -144,52 +146,102 @@ def link_intrinsic_score(
 
 
 def score_image(node: Node, index: int, total: int) -> int:
-    """Image usefulness score (spec: reference content_scraping_strategy.py
-    :420-566): size, alt, early position, known format, srcset/picture."""
+    """Image usefulness score, reference-exact (content_scraping_strategy
+    .py:453-505): +1 per dimension that is all-digits and > 150 (a
+    non-numeric height does not void a numeric width), +1 truthy alt, +1
+    first half of the page, +1 when any of src/data-src/srcset/data-srcset
+    CONTAINS a known format substring, +1 when srcset/data-srcset is
+    present, +1 when ANY ancestor is <picture>."""
     score = 0
-    try:
-        w = int(node.attrs.get("width") or 0)
-        h = int(node.attrs.get("height") or 0)
-    except ValueError:
-        w = h = 0
-    if w >= 150 or h >= 150:
-        score += 2
-    if (node.attrs.get("alt") or "").strip():
+    w = node.attrs.get("width")
+    h = node.attrs.get("height")
+    if w and w.isdigit() and int(w) > 150:
         score += 1
-    if total > 0 and index < max(1, total / 2):
+    if h and h.isdigit() and int(h) > 150:
         score += 1
-    src = (node.attrs.get("src") or "").lower()
-    if any(src.split("?")[0].endswith(f) for f in _IMG_FORMATS):
+    if node.attrs.get("alt"):
         score += 1
-    if node.attrs.get("srcset") or (node.parent is not None and node.parent.tag == "picture"):
+    if total > 0 and index / total < 0.5:
         score += 1
+    sources = [
+        (node.attrs.get(k) or "").lower()
+        for k in ("src", "data-src", "srcset", "data-srcset")
+    ]
+    if any(fmt in s for s in sources for fmt in _IMG_FORMATS):
+        score += 1
+    if node.attrs.get("srcset") or node.attrs.get("data-srcset"):
+        score += 1
+    anc = node.parent
+    while anc is not None:
+        if anc.tag == "picture":
+            score += 1
+            break
+        anc = anc.parent
     return score
 
 
-def is_data_table(table: Node) -> tuple[int, list[Node]]:
-    """Heuristic data-table score (spec: reference :201-273, threshold 7).
-    Returns (score, body_rows)."""
-    score = 0
-    if table.find("thead") is not None:
+def is_data_table(table: Node) -> tuple[float, list[Node]]:
+    """Data-table score, reference-exact (content_scraping_strategy.py
+    :201-273, threshold 7): thead +2, tbody +1, th +2 (+1 extra when in a
+    thead or a first-child tr), nested table −3, role presentation/none
+    −3, column-count variance < 1 +2, caption +2, non-empty summary +1,
+    text/tag density > 20 +3 (> 10 +2), +0.5 per data-* attribute,
+    ≥ 2 columns × ≥ 2 rows +2. Returns (score, body_rows); a table with
+    no rows scores −inf (the reference returns False outright). Cell text
+    length uses the collapsed-whitespace text of this parser where bs4
+    get_text() keeps raw runs — identical on normal cells, a few chars
+    off on whitespace-heavy ones."""
+    score = 0.0
+    has_thead = table.find("thead") is not None
+    if has_thead:
         score += 2
     if table.find("tbody") is not None:
         score += 1
     ths = table.find_all("th")
     if ths:
         score += 2
-    rows = [r for r in table.find_all("tr")]
+        first_tr_th = False
+        # bs4 'tr:first-child th': a th inside a tr that is the first
+        # element child of its parent
+        for th in ths:
+            tr = th.parent
+            while tr is not None and tr.tag != "tr":
+                tr = tr.parent
+            if tr is not None and tr.parent is not None:
+                sibs = [c for c in tr.parent.children if not c.is_text]
+                if sibs and sibs[0] is tr:
+                    first_tr_th = True
+                    break
+        if has_thead or first_tr_th:
+            score += 1
+    if len(table.find_all("table")) > 1:  # iter() includes self
+        score -= 3
+    if (table.attrs.get("role") or "").lower() in ("presentation", "none"):
+        score -= 3
+    rows = table.find_all("tr")
     body_rows = [r for r in rows if r.find("td") is not None]
-    if body_rows:
-        score += 1
-    col_counts = {len(r.find_all("td", "th")) for r in rows}
-    if len(col_counts) == 1 and col_counts != {0}:
+    if not rows:
+        return float("-inf"), body_rows
+    col_counts = [len(r.find_all("td", "th")) for r in rows]
+    avg_cols = sum(col_counts) / len(col_counts)
+    variance = sum((c - avg_cols) ** 2 for c in col_counts) / len(col_counts)
+    if variance < 1:
         score += 2
     if table.find("caption") is not None:
+        score += 2
+    if table.attrs.get("summary"):
         score += 1
-    if (table.attrs.get("role") or "").lower() == "table":
-        score += 1
-    if any("data-" in k for k in table.attrs):
-        score += 1
+    total_text = sum(
+        len(cell.text().strip()) for r in rows for cell in r.find_all("td", "th")
+    )
+    total_tags = sum(1 for _ in table.iter()) - 1  # descendants, excl. self
+    if total_text / (total_tags + 1e-5) > 20:
+        score += 3
+    elif total_text / (total_tags + 1e-5) > 10:
+        score += 2
+    score += 0.5 * sum(1 for k in table.attrs if k.startswith("data-"))
+    if avg_cols >= 2 and len(rows) >= 2:
+        score += 2
     return score, body_rows
 
 
@@ -263,7 +315,7 @@ def _walk_element(el: Node, st: _ScrapeState) -> bool:
     collection, exclusion knobs, attribute whitelist, and word-count-driven
     pruning. Returns whether the element was kept."""
     opts = st.opts
-    if el.tag in ("script", "style", "link", "meta", "noscript"):
+    if el.tag in REMOVE_TAGS:
         el.detach()
         return False
 
@@ -287,7 +339,9 @@ def _walk_element(el: Node, st: _ScrapeState) -> bool:
             return False
         if not norm:
             return False
-        link_text = el.text().strip()
+        # reference :652 records element.get_text().strip() — raw run
+        # concatenation, no separator ('<b>Read</b>More' → 'ReadMore')
+        link_text = el.raw_text().strip()
         link_title = (el.attrs.get("title") or "").strip()
         link_data = {
             "href": norm,
@@ -460,7 +514,8 @@ def scrape_page(
     imgs = body.find_all("img")
     for i, img in enumerate(imgs):
         score = score_image(img, i, len(imgs))
-        if score < image_score_threshold:
+        # reference drops score <= threshold (strict keep-above)
+        if score <= image_score_threshold:
             continue
 
         def _int(v):

@@ -33,7 +33,12 @@ OUTPUT_SCHEMA = (
     "host string, iteration bigint, current_delay double, "
     "fail_count int, last_iter bigint"
 )
-STATE_SCHEMA = "current_delay double, fail_count int, last_iter bigint"
+# done_iter: highest iteration id already folded into the state — the
+# idempotence guard against an iteration's files splitting across
+# micro-batches (see stream_host_state docstring)
+STATE_SCHEMA = (
+    "current_delay double, fail_count int, last_iter bigint, done_iter bigint"
+)
 
 
 def stream_host_state(
@@ -57,6 +62,17 @@ def stream_host_state(
     commit order under the file source, so a host's iterations are seen
     in order end-to-end (out-of-order delivery would evolve in arrival
     order — the same at-least-once caveat as any streaming fold).
+
+    Idempotence guard: the state remembers the highest iteration already
+    folded (``done_iter``) and SKIPS any re-arriving iteration, so an
+    iteration whose files split across micro-batches (a caller setting
+    ``maxFilesPerTrigger``; the file source's default delivers every
+    committed file of a batch together) evolves the state ONCE — first
+    fragment wins — instead of double-doubling the delay and emitting
+    duplicate (host, iteration) audit rows. The residual caveat is the
+    dual: a 429 that only appears in a later fragment of the same split
+    iteration is not re-folded. Pace by whole snapshot commits when exact
+    batch-fold equivalence matters.
     """
 
     def update(
@@ -64,14 +80,16 @@ def stream_host_state(
     ) -> Iterator[pd.DataFrame]:
         host = key[0]
         if state.exists:
-            delay, fails, last = state.get
+            delay, fails, last, done = state.get
         else:
-            delay, fails, last = None, 0, None
+            delay, fails, last, done = None, 0, None, -(1 << 62)
         rows: list[tuple] = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         for it, grp in batch.sort_values(iteration_col).groupby(
             iteration_col, sort=True
         ):
+            if int(it) <= done:
+                continue  # replayed / split-batch fragment: already folded
             if delay is None:
                 delay, fails, last = float(base_delay), 0, int(it)
             throttled = int(grp[status_col].isin([429, 503]).sum())
@@ -82,9 +100,10 @@ def stream_host_state(
                 delay = max(delay * 0.75, base_delay)
                 fails = 0
             last = int(last) + 1
+            done = int(it)
             rows.append((host, int(it), float(delay), int(fails), int(last)))
         if rows:
-            state.update((float(delay), int(fails), int(last)))
+            state.update((float(delay), int(fails), int(last), int(done)))
             yield pd.DataFrame(
                 rows,
                 columns=[

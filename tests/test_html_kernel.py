@@ -50,7 +50,11 @@ def test_parser_roundtrip():
     root = parse_html("<div a=1><p>x <b>y</b></p></div>")
     assert root.find("b").text() == "y"
     assert root.find("div").attrs["a"] == "1"
-    assert root.find("p").word_count() == 2
+    # bs4-parity: get_text(strip=True) concatenates stripped runs with no
+    # separator, so 'x <b>y</b>' is 'xy' — ONE word, the count the
+    # reference's word_count_threshold prune actually uses
+    assert root.find("p").word_count() == 1
+    assert parse_html("<p>two words</p>").find("p").word_count() == 2
 
 
 def test_parser_malformed():

@@ -116,3 +116,39 @@ def test_stream_host_state_resumes_from_checkpoint(spark):
     # 1.0·0.75 = 0.75 — and the whole end-state equals the batch fold
     assert got == _batch_fold(spark, ROWS)
     assert os.path.isdir(ckpt)
+
+
+def test_stream_host_state_iteration_split_across_batches_folds_once(spark):
+    """maxFilesPerTrigger pacing can split one iteration's files across
+    micro-batches; the done_iter state guard must fold that iteration
+    ONCE (no double-doubled delay, no duplicate audit row)."""
+    src = tempfile.mkdtemp(prefix="shs3_src_")
+    ckpt = tempfile.mkdtemp(prefix="shs3_ckpt_")
+    out = tempfile.mkdtemp(prefix="shs3_out_")
+    # one host, one iteration, a 429 in EVERY file: two files → without
+    # the guard the stream evolves twice (0.5→1.0→2.0) and audits twice
+    rows = [("a", 0, 429), ("a", 0, 429)]
+    df = spark.createDataFrame(rows, SCHEMA).repartition(2)
+    df.write.mode("append").parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 2
+    q = (
+        stream_host_state(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            base_delay=BASE,
+            max_delay=MAX,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    audit = spark.read.parquet(out)
+    assert audit.count() == 1
+    r = audit.collect()[0]
+    assert (r.host, r.iteration, r.current_delay, r.fail_count) == ("a", 0, 1.0, 1)
