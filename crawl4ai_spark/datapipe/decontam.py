@@ -93,7 +93,13 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     # no broadcast hint here — see the docstring: AQE broadcasts small hit
-    # tables at runtime, pathological ones degrade to a shuffle join
+    # tables at runtime, pathological ones degrade to a shuffle join.
+    # DELIBERATE double evaluation: ngram_hash_col runs once in the probe
+    # explode above and once for n_grams below. Folding n_grams into the
+    # probe aggregation would compute it once, but the final join's right
+    # side would then be O(#docs) instead of O(#contaminated docs) — a
+    # guaranteed corpus-sized exchange replacing a usually-broadcast join.
+    # 2× map-side CPU is the cheaper side of that trade at 100 TB.
     return (
         corpus.withColumn(
             "n_grams", F.size(ngram_hash_col(text_col, n)).cast("long")

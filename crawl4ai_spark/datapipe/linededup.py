@@ -29,10 +29,13 @@ from pyspark.sql import functions as F
 
 
 def line_key_col(line):
-    """Normalization key for cross-document line matching: md5 of the
-    lower-cased, whitespace-squeezed line (same canonicalization as
-    textstats.fingerprint_col, applied per line)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(line), r"\s+", " ")))
+    """Normalization key for cross-document line matching: textstats.
+    fingerprint_col applied per line — DELEGATED, not restated, so a
+    canonicalization change lands in document- and line-level dedup (and
+    their oracles) together."""
+    from crawl4ai_spark.datapipe.textstats import fingerprint_col
+
+    return fingerprint_col(line)
 
 
 def explode_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

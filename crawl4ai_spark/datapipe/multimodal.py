@@ -51,14 +51,25 @@ def blob_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     ).withColumn("media_kind", kind)
 
 
+def _bin_shift(bins: int) -> int:
+    """Right-shift mapping a uint8 onto exactly ``bins`` buckets. Rejects
+    non-power-of-two bins up front — a silent log2 truncation would emit
+    feature vectors WIDER than ``bins`` (e.g. bins=10 → shift 4 → values
+    0..15), breaking every fixed-width downstream consumer."""
+    if bins < 1 or bins > 256 or (bins & (bins - 1)) != 0:
+        raise ValueError(f"bins must be a power of two in [1, 256], got {bins}")
+    return 8 - bins.bit_length() + 1
+
+
 def _byte_histogram(data: bytes, bins: int = 16) -> list[float]:
     """Deterministic fallback feature: normalized histogram of byte values
     (bins of width 256//bins). Stands in for decoded-image features so the
     downstream plumbing (fixed-width float arrays) is real."""
+    shift = _bin_shift(bins)
     if not data:
         return [0.0] * bins
     arr = np.frombuffer(data, dtype=np.uint8)
-    hist = np.bincount(arr >> int(np.log2(256 // bins)), minlength=bins).astype(np.float64)
+    hist = np.bincount(arr >> shift, minlength=bins).astype(np.float64)
     return list(hist / hist.sum())
 
 
@@ -90,6 +101,7 @@ def extract_blob_features(
     chunk, no Python-per-row overhead.
     """
     schema = f"{id_col} string, n_bytes bigint, feature array<double>"
+    shift = _bin_shift(bins)  # validate on the driver, before any job runs
     cols = df.select(F.col(id_col).cast("string"), F.col(blob_col).alias("_blob"))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -99,8 +111,12 @@ def extract_blob_features(
                 data = bytes(data) if data is not None else b""
                 try:
                     arr = decode_image(data)
+                    # same bins-derived shift as the fallback: both paths
+                    # must emit the SAME feature width or a mixed corpus
+                    # (some rows decodable, some not) breaks fixed-width
+                    # downstream consumers
                     hist = np.bincount(
-                        (arr.ravel().astype(np.uint8)) >> 4, minlength=bins
+                        (arr.ravel().astype(np.uint8)) >> shift, minlength=bins
                     ).astype(np.float64)
                     feat = list(hist / max(hist.sum(), 1.0))
                 except NotImplementedError:

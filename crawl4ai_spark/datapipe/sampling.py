@@ -100,6 +100,11 @@ def mix_sources(
     hash tests against a broadcast per-source probability map — the corpus
     itself never shuffles; the only aggregation is the tiny per-source
     count (map-side partial agg, #sources rows).
+
+    Rows with a NULL source form their own stratum (normal in merged web
+    corpora): they are kept only if ``weights`` carries an explicit
+    ``None`` entry, otherwise their keep_prob is 0 — dropped EXPLICITLY
+    by the mixture, not crashed on or silently passed through.
     """
     counts = {
         r[source_col]: r["n"]
@@ -112,8 +117,11 @@ def mix_sources(
         w = float(weights.get(src, 0.0)) / wsum
         probs[src] = min(1.0, (w * n_total) / n_s) if n_s else 0.0
     prob_expr: Column = F.lit(0.0)
-    for src, p in sorted(probs.items()):
-        prob_expr = F.when(F.col(source_col) == src, F.lit(p)).otherwise(prob_expr)
+    # None-safe sort (a NULL source stratum would TypeError a plain sort)
+    # and isNull match (== never matches NULL)
+    for src, p in sorted(probs.items(), key=lambda kv: (kv[0] is None, kv[0] or "")):
+        cond = F.col(source_col).isNull() if src is None else F.col(source_col) == src
+        prob_expr = F.when(cond, F.lit(p)).otherwise(prob_expr)
     return (
         df.withColumn("keep_prob", prob_expr)
         .filter(hash_uniform_col(key, salt, portable=portable) < F.col("keep_prob"))

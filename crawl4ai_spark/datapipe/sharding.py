@@ -58,7 +58,14 @@ def pack_shards(
     sizes the range partitions so they track data volume instead of core
     count; without a hint the partition count falls back to the session's
     parallelism, which is right for interactive-scale inputs but
-    undersized for a 10B-row corpus — pass the hint there."""
+    undersized for a 10B-row corpus — pass the hint there.
+
+    ``key`` must be a TOTAL order (unique values — a doc id, not a url
+    that may repeat across captures): tied rows get an arbitrary
+    layout-dependent relative order inside the prefix-sum window, which
+    breaks the determinism guarantee and the SQL-oracle equivalence.
+    Same requirement (and reasoning) as operators/ranking's order
+    columns."""
     nparts = 32
     try:
         nparts = _shard_nparts(

@@ -110,6 +110,14 @@ def evolve_host_state(
     fail_count accumulates / resets.
 
     ``fetch_results`` needs (host, status_code). Returns the new host_state.
+
+    CONTRACT: ``host_state`` must contain ONLY hosts actually fetched this
+    iteration — every input row is evolved, so passing idle hosts decays
+    their delay and zeroes their fail_count without any contact (the
+    reference's update_delay touches a DomainState only on request).
+    This is the hit-only kernel; ``merge_host_state`` below carries the
+    full per-iteration protocol (first-seen defaults + hit/idle split)
+    and is what the crawl loop and most callers want.
     """
     per_host = fetch_results.groupBy("host").agg(
         F.sum(F.when(F.col("status_code").isin(429, 503), 1).otherwise(0)).alias(
@@ -131,3 +139,46 @@ def evolve_host_state(
         .alias("fail_count"),
         (F.col("last_iter") + 1).alias("last_iter"),
     )
+
+
+def merge_host_state(
+    host_state: DataFrame | None,
+    fetch_results: DataFrame,
+    iteration: int,
+    max_delay: float = 60.0,
+    base_delay: float = 0.5,
+) -> DataFrame:
+    """Full per-iteration host-state protocol (the crawl loop's step P2 and
+    the oracle the streaming fold is differentially pinned against):
+
+    - hosts first seen this iteration enter at (base_delay, fail_count=0,
+      last_iter=iteration);
+    - hosts HIT this iteration evolve via ``evolve_host_state``;
+    - idle hosts keep their state byte-for-byte (the reference touches a
+      DomainState only on request — an idle host's backoff must not erode
+      while it is simply not scheduled).
+
+    ``fetch_results`` needs (host, status_code); ``host_state`` is the
+    previous state or None on the first iteration."""
+    hosts_now = fetch_results.select("host").distinct()
+    newly = (
+        hosts_now.join(host_state.select("host"), "host", "left_anti")
+        if host_state is not None
+        else hosts_now
+    ).select(
+        "host",
+        F.lit(base_delay).alias("current_delay"),
+        F.lit(0).cast("int").alias("fail_count"),
+        F.lit(int(iteration)).cast("long").alias("last_iter"),
+    )
+    base_state = (
+        host_state.unionByName(newly) if host_state is not None else newly
+    )
+    hit = base_state.join(hosts_now, "host", "left_semi")
+    idle = base_state.join(hosts_now, "host", "left_anti")
+    return evolve_host_state(
+        hit,
+        fetch_results.select("host", "status_code"),
+        max_delay=max_delay,
+        base_delay=base_delay,
+    ).unionByName(idle)

@@ -77,7 +77,7 @@ def range_rank(
         acc += row["_n"]
     if not offsets:
         srt.unpersist()
-        return df.withColumn(rank_col, F.lit(1).cast("int")).limit(0)
+        return df.withColumn(rank_col, F.lit(1).cast("long")).limit(0)
     off_expr = F.element_at(
         F.map_from_arrays(
             F.array(*[F.lit(int(p)) for p in offsets]),
@@ -88,7 +88,11 @@ def range_rank(
     w = Window.partitionBy("_pid").orderBy(*order)
     ranked = (
         srt.withColumn("_off", off_expr)
-        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w)).cast("int"))
+        # long, not int: this is the designated regime for inputs too big
+        # for any single window — prefix offsets pass 2^31 exactly when
+        # range_rank is the right tool, and an int cast would wrap the
+        # tail negative and ship it through the <= k filter
+        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
         .filter(F.col(rank_col) <= k)
         .drop("_off", "_pid")
     )
@@ -114,9 +118,9 @@ def salted_global_topk(
     high-cardinality column, e.g. the url), so reruns rank identically."""
     if small_input and k <= LARGE_K_ROWS:
         w = Window.orderBy(*order)
-        return df.withColumn(rank_col, F.row_number().over(w)).filter(
-            F.col(rank_col) <= k
-        )
+        return df.withColumn(
+            rank_col, F.row_number().over(w).cast("long")
+        ).filter(F.col(rank_col) <= k)
     hash_col = F.col(hash_on) if isinstance(hash_on, str) else hash_on
     bucket = F.pmod(F.xxhash64(hash_col), F.lit(salt))
     w1 = Window.partitionBy("_sb").orderBy(*order)
@@ -130,7 +134,7 @@ def salted_global_topk(
         return range_rank(pruned, order, k, rank_col=rank_col)
     w2 = Window.orderBy(*order)
     return (
-        pruned.withColumn(rank_col, F.row_number().over(w2))
+        pruned.withColumn(rank_col, F.row_number().over(w2).cast("long"))
         .filter(F.col(rank_col) <= k)
     )
 

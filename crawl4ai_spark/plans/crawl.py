@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.urlnorm import normalize_deep_udf
 from crawl4ai_spark.functions.urls import host_col, url_valid_col
-from crawl4ai_spark.operators.politeness import evolve_host_state, host_budget_rank
+from crawl4ai_spark.operators.politeness import host_budget_rank, merge_host_state
 from crawl4ai_spark.operators.ranking import capacity_topk, priority_rank
 from crawl4ai_spark.operators.robots import apply_robots_gate
 from crawl4ai_spark.operators.seen import build_bloom, dedup_against_seen
@@ -453,34 +453,19 @@ class CrawlRun:
             return {"done": True, "reason": "budget_zero"}
 
         # P2: evolve per-host delays from this iteration's statuses
-        # (MERGE-shaped: existing state ∪ first-seen hosts at base delay)
+        # (merge_host_state: first-seen hosts enter at base delay, hit
+        # hosts evolve, idle hosts keep their delay — the reference
+        # touches DomainState on request). Built here, committed in the
+        # step-7 concurrent pool — a synchronous replace would add one
+        # serial job per iteration.
         if cfg.adaptive_politeness:
-            hosts_now = results.select("host").distinct()
-            defaults = (
-                hosts_now.join(hs_df.select("host"), "host", "left_anti")
-                if hs_df is not None
-                else hosts_now
-            ).select(
-                "host",
-                F.lit(cfg.base_delay).alias("current_delay"),
-                F.lit(0).cast("int").alias("fail_count"),
-                F.lit(iteration).cast("long").alias("last_iter"),
-            )
-            base_state = (
-                hs_df.unionByName(defaults) if hs_df is not None else defaults
-            )
-            # only hosts actually hit this iteration evolve (the reference
-            # touches DomainState on request, idle hosts keep their delay)
-            hit = base_state.join(hosts_now, "host", "left_semi")
-            idle = base_state.join(hosts_now, "host", "left_anti")
-            # built here, committed in the step-7 concurrent pool — a
-            # synchronous replace would add one serial job per iteration
-            new_state = evolve_host_state(
-                hit,
+            new_state = merge_host_state(
+                hs_df,
                 results.select("host", "status_code"),
+                iteration,
                 max_delay=cfg.max_delay,
                 base_delay=cfg.base_delay,
-            ).unionByName(idle)
+            )
         else:
             new_state = None
 

@@ -878,3 +878,35 @@ def test_ivf_duplicate_seed_vectors_dedupe_and_probe_alignment(spark):
     got = ann_ivf_topk(emb, q, nprobe=1, k=3, centroids=cents).collect()
     # nprobe=1 must find the exact duplicates of the query, not an empty cell
     assert len(got) == 3 and all(r.cosine == 1.0 for r in got)
+
+
+def test_mix_sources_null_source_stratum(spark):
+    """NULL sources form their own stratum: kept only via an explicit None
+    weight, never a driver TypeError (sorted None vs str) or a silent
+    pass-through."""
+    from crawl4ai_spark.datapipe.sampling import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else None) for i in range(40)],
+        "doc_id long, source string",
+    )
+    # no None weight: NULL rows are dropped explicitly (keep_prob 0)
+    kept = mix_sources(df, F.col("doc_id"), "source", {"web": 1.0}).collect()
+    assert kept and all(r.source == "web" for r in kept)
+    # explicit None weight: NULL stratum participates
+    kept2 = mix_sources(
+        df, F.col("doc_id"), "source", {"web": 0.5, None: 0.5}
+    ).collect()
+    assert any(r.source is None for r in kept2)
+
+
+def test_blob_features_rejects_non_power_of_two_bins(spark):
+    from crawl4ai_spark.datapipe.multimodal import extract_blob_features
+
+    df = spark.createDataFrame([("u", bytearray(b"xyz"))], "url string, blob binary")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power of two"):
+        extract_blob_features(df, bins=10)
+    rows = extract_blob_features(df, bins=8).collect()
+    assert len(rows[0].feature) == 8

@@ -8,7 +8,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.operators.politeness import evolve_host_state
+from crawl4ai_spark.operators.politeness import merge_host_state
 from crawl4ai_spark.streaming import stream_host_state
 
 SCHEMA = "host string, iteration long, status_code int"
@@ -24,29 +24,17 @@ ROWS = [
 
 
 def _batch_fold(spark, rows):
-    """The crawl loop's exact per-iteration merge + evolve (plans/crawl.py
-    step P2) folded over the same rows — the equivalence oracle."""
+    """The crawl loop's exact per-iteration protocol (plans/crawl.py step
+    P2 == operators.politeness.merge_host_state) folded over the same
+    rows — the equivalence oracle."""
     df = spark.createDataFrame(rows, SCHEMA)
     hs = None
     for it in sorted({r[1] for r in rows}):
         res_it = df.filter(F.col("iteration") == it)
-        hosts_now = res_it.select("host").distinct()
-        newly = (
-            hosts_now
-            if hs is None
-            else hosts_now.join(hs.select("host"), "host", "left_anti")
-        ).select(
-            "host",
-            F.lit(BASE).alias("current_delay"),
-            F.lit(0).cast("int").alias("fail_count"),
-            F.lit(int(it)).cast("long").alias("last_iter"),
+        hs = merge_host_state(
+            hs, res_it.select("host", "status_code"), int(it),
+            max_delay=MAX, base_delay=BASE,
         )
-        base_state = newly if hs is None else hs.unionByName(newly)
-        hit = base_state.join(hosts_now, "host", "left_semi")
-        idle = base_state.join(hosts_now, "host", "left_anti")
-        hs = evolve_host_state(
-            hit, res_it.select("host", "status_code"), max_delay=MAX, base_delay=BASE
-        ).unionByName(idle)
     return {
         r.host: (r.current_delay, r.fail_count, r.last_iter) for r in hs.collect()
     }
