@@ -113,7 +113,18 @@ def band_keys_col(
 ) -> Column:
     """Array of ``bands`` LSH band keys over the comma-joined row slices —
     md5 strings on the oracle path, ``hash_fn`` longs on the fast path
-    (narrower join key, no digest-to-hex)."""
+    (narrower join key, no digest-to-hex).
+
+    ``rows`` must be ≥ 1 and the caller's num_hashes must be bands·rows:
+    rows=0 would slice empty and put EVERY document in one hash('')
+    bucket per band (a silent recall collapse or an O(n²) bucket), and a
+    non-divisible num_hashes would silently ignore trailing signature
+    values."""
+    if rows < 1:
+        raise ValueError(
+            f"rows per band must be >= 1, got {rows} (bands > num_hashes?)"
+        )
+
     def _key(b: int) -> Column:
         joined = F.concat_ws(
             ",",
@@ -291,6 +302,11 @@ def hot_bucket_stats(
     carries no band_id column; it is accepted as-is (band_id reported
     as 0, the same convention as ``embedding_hot_bucket_stats``)."""
     if banded is None:
+        if bands < 1 or num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must be a positive multiple of "
+                f"bands ({bands}) — a remainder silently drops signature values"
+            )
         rows = num_hashes // bands
         sh = _shingle_frame(df, id_col, text_col, k)
         sig_df = _signatures_from_shingles(sh, num_hashes, hash_fn or portable_hash)
@@ -325,6 +341,11 @@ def minhash_dedup_pairs(
     quadratic self-join (see HOT_BUCKET_CAP; ``hot_bucket_stats`` reports
     the diverted buckets; ``hot_bucket_cap=None`` skips the guard for
     corpora the caller can bound)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — a remainder silently drops signature values"
+        )
     rows = num_hashes // bands
     sig_hash = hash_fn or portable_hash
     # CPU-bound per-row stage: spread it over all cores even when the
@@ -413,6 +434,11 @@ def write_minhash_tables(
         .sortBy("doc_id")
         .saveAsTable(f"{name_prefix}_shingles")
     )
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — a remainder silently drops signature values"
+        )
     rows = num_hashes // bands
     spark = df.sparkSession
     sig_df = _signatures_from_shingles(

@@ -85,15 +85,23 @@ def ann_bruteforce_topk(
     scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).withColumn(
         "cosine", cosine_col(F.col("_qvec"), F.col("_cvec"))
     )
-    # shed the vector columns BEFORE the window shuffle: the rank only
-    # needs (query_id, id, cosine) — shuffling 64-float arrays per row
-    # would double the exchange size for nothing
-    scored = scored.select(query_id_col, id_col, "cosine")
+    return _per_query_topk(scored, query_id_col, id_col, k)
+
+
+
+def _per_query_topk(scored, query_id_col: str, id_col: str, k: int):
+    """Shared final stage of every ANN operator: shed the vector columns
+    BEFORE the window shuffle (the rank only needs (query_id, id, cosine) —
+    shuffling 64-float arrays per row would double the exchange size for
+    nothing), then per-query row_number with the cosine-desc/id-asc
+    tie-break. ONE spelling so a tie-break or rank-type change cannot
+    drift between the brute-force, LSH and IVF paths."""
+    shed = scored.select(query_id_col, id_col, "cosine")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        shed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
     )
@@ -216,18 +224,7 @@ def ann_lsh_topk(
     scored = c.join(F.broadcast(q), on="_bucket").filter(
         F.col(query_id_col) != F.col(id_col)
     ).withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
-    # shed the vector columns BEFORE the window shuffle: the rank only
-    # needs (query_id, id, cosine) — shuffling 64-float arrays per row
-    # would double the exchange size for nothing
-    scored = scored.select(query_id_col, id_col, "cosine")
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _per_query_topk(scored, query_id_col, id_col, k)
 
 
 # -- IVF-flat: sampled coarse quantizer + nprobe cell probing ----------------
@@ -532,17 +529,7 @@ def ann_ivf_topk(
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
     )
-    # shed the vector columns BEFORE the window shuffle (same reasoning as
-    # the brute-force and LSH paths)
-    scored = scored.select(query_id_col, id_col, "cosine")
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _per_query_topk(scored, query_id_col, id_col, k)
 
 
 def _vec_fp_col(vec: Column) -> Column:

@@ -64,9 +64,55 @@ def _matches(node: Node, simple: dict) -> bool:
     return True
 
 
+def _split_branches(selector: str) -> list[str]:
+    """Split a selector list on commas OUTSIDE attribute brackets, so
+    '[alt="x,y"]' stays one branch. (A literal ']' inside a quoted value
+    is not supported — same limit as the simple-selector regex.)"""
+    parts, buf, depth = [], [], 0
+    for ch in selector:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _tokenize(selector: str) -> list[str]:
+    """Whitespace/'>' tokenization that keeps bracketed attribute values
+    intact, so '[title="a b"]' is one token."""
+    toks: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in selector:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        if depth == 0 and ch.isspace():
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+        elif depth == 0 and ch == ">":
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+            toks.append(">")
+        else:
+            buf.append(ch)
+    if buf:
+        toks.append("".join(buf))
+    return toks
+
+
 def _compile(selector: str) -> list[tuple[str, dict]]:
     """'a > b c' → [('desc', a), ('child', b), ('desc', c)]."""
-    tokens = selector.replace(">", " > ").split()
+    tokens = _tokenize(selector)
     steps: list[tuple[str, dict]] = []
     comb = "desc"
     for tok in tokens:
@@ -84,7 +130,7 @@ def select(root: Node, selector: str) -> list[Node]:
     """All elements under ``root`` matching ``selector``, document order."""
     results: list[Node] = []
     seen: set[int] = set()
-    for branch in selector.split(","):
+    for branch in _split_branches(selector):
         branch = branch.strip()
         if not branch:
             continue

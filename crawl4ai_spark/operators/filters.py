@@ -78,7 +78,9 @@ def url_pattern_filter(url: Column, patterns: list[str], reverse: bool = False) 
             else:
                 rx = fnmatch.translate(g)
             conds.append(url.rlike(rx))
-    result = conds[0]
+    # empty pattern list matches nothing (reference apply() returns False),
+    # not an IndexError at plan-build time
+    result = conds[0] if conds else F.lit(False)
     for c in conds[1:]:
         result = result | c
     return ~result if reverse else result
@@ -105,15 +107,27 @@ _EXT_MIME = {
 
 def content_type_filter(url: Column, allowed_types: list[str]) -> Column:
     """Keep URLs whose path extension maps to an allowed MIME family;
-    extensionless URLs always pass (reference filters.py:412-413)."""
+    extensionless URLs always pass (reference filters.py:412-413).
+
+    Extension extraction mirrors the reference's _extract_extension
+    (filters.py:362-381) exactly: strip the scheme, take the PATH from the
+    first '/', last path segment, text after its last dot. A path-less URL
+    ('https://example.com', 'https://example.com?q=1') therefore has NO
+    extension and passes — the hostname's TLD is not an extension. The
+    reference does not strip the query either, so 'a.php?x=1.jpg' scores
+    extension 'jpg' (quirk preserved)."""
     allowed_exts = [
         ext for ext, mime in _EXT_MIME.items()
         if any(a in mime for a in allowed_types)
     ]
-    path = _path_no_query(url)
-    last_seg = F.substring_index(path, "/", -1)
+    after_scheme = F.regexp_replace(url, r"^.*?://", "")
+    slash = F.instr(after_scheme, "/")
+    path = F.when(
+        slash > 0, F.substring(after_scheme, slash, 2_000_000)
+    ).otherwise(F.lit(""))
+    filename = F.substring_index(path, "/", -1)
     ext = F.when(
-        last_seg.contains("."), F.lower(F.substring_index(last_seg, ".", -1))
+        filename.contains("."), F.lower(F.substring_index(filename, ".", -1))
     ).otherwise(F.lit(""))
     return (ext == "") | ext.isin(allowed_exts)
 
@@ -298,6 +312,34 @@ SEO_DEFAULT_WEIGHTS = {
 }
 
 
+_META_NAME_RE = "name=[\"'](.*?)[\"']"
+_META_PROP_RE = "property=[\"'](.*?)[\"']"
+_META_CONTENT_RE = "content=[\"'](.*?)[\"']"
+
+
+def meta_content_col(head: Column, key: str) -> Column:
+    """HeadPeekr.extract_meta_tags for one key (utils.py:2840-2857,
+    restated expression-for-expression): scan ``<meta[^>]+>`` tags in any
+    attribute order / either quote style; a tag contributes when it has a
+    content attr AND a name (preferred over property) attr equal to
+    ``key``; the LAST matching tag wins (the reference overwrites its dict
+    in finditer order). NULL when no tag matches."""
+    metas = F.regexp_extract_all(head, F.lit(r"<meta[^>]+>"), F.lit(0))
+
+    def tag_key(t: Column) -> Column:
+        return F.when(
+            t.rlike(_META_NAME_RE), F.regexp_extract(t, _META_NAME_RE, 1)
+        ).otherwise(F.regexp_extract(t, _META_PROP_RE, 1))
+
+    matched = F.filter(
+        metas, lambda t: t.rlike(_META_CONTENT_RE) & (tag_key(t) == key)
+    )
+    # try_: no matching tag → NULL, not an ANSI index error
+    return F.regexp_extract(
+        F.try_element_at(matched, F.lit(-1)), _META_CONTENT_RE, 1
+    )
+
+
 def seo_score_col(
     head: Column,
     url: Column,
@@ -308,9 +350,18 @@ def seo_score_col(
     head-section assessment (deep_crawling/filters.py:576-687): title
     length banding, keyword hits (0.3 each, capped), meta-description
     length, canonical match, robots noindex gate, ld+json detection, and
-    URL-quality penalty multipliers. Pure Catalyst over the head string."""
+    URL-quality penalty multipliers. Pure Catalyst over the head string.
+
+    HeadPeekr parity notes: the title regex is IGNORECASE|DOTALL
+    (utils.py:2860); description/robots/canonical come from META tags via
+    ``meta_content_col`` — attr order and quote style free — and in
+    particular 'canonical' means ``<meta name="canonical">``: a
+    ``<link rel="canonical">`` is INVISIBLE to the reference's scorer
+    (quirk preserved), so typical pages score the neutral 0.5."""
     w = weights or SEO_DEFAULT_WEIGHTS
-    title = F.regexp_extract(head, "<title>([^<]*)</title>", 1)
+    title = F.coalesce(
+        F.regexp_extract(head, "(?is)<title>(.*?)</title>", 1), F.lit("")
+    )
     tlen = F.length(title)
     title_length = (
         F.when((tlen >= 50) & (tlen <= 60), 1.0)
@@ -323,18 +374,20 @@ def seo_score_col(
         title_kw = F.least(hits.cast("double") * 0.3, F.lit(1.0))
     else:
         title_kw = F.lit(0.0)
-    desc = F.regexp_extract(head, 'name="description" content="([^"]*)"', 1)
+    desc = F.coalesce(meta_content_col(head, "description"), F.lit(""))
     dlen = F.length(desc)
     meta_description = (
         F.when((dlen >= 140) & (dlen <= 160), 1.0)
         .when((dlen >= 120) & (dlen <= 200), 0.5)
         .otherwise(0.2)
     )
-    canonical = F.regexp_extract(head, 'rel="canonical"[^>]*href="([^"]*)"', 1)
+    canonical = meta_content_col(head, "canonical")
     canonical_score = (
-        F.when(canonical == "", 0.5).when(canonical == url, 1.0).otherwise(0.2)
+        F.when(canonical.isNull() | (canonical == ""), 0.5)
+        .when(canonical == url, 1.0)
+        .otherwise(0.2)
     )
-    robots = F.regexp_extract(head, 'name="robots" content="([^"]*)"', 1)
+    robots = F.coalesce(meta_content_col(head, "robots"), F.lit(""))
     robot_ok = F.when(robots.contains("noindex"), 0.0).otherwise(1.0)
     schema_org = F.when(
         head.rlike(r"<script[^>]+type=[\"']application/ld\+json"), 1.0

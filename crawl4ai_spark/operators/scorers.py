@@ -117,10 +117,14 @@ def freshness_score(url: Column, current_year: int = 2024, weight: float = 1.0) 
 def domain_authority_score(
     url: Column, domain_weights: dict[str, float], default_weight: float = 0.5, weight: float = 1.0
 ) -> Column:
-    """Domain → authority weight map with default (U5)."""
+    """Domain → authority weight map with default (U5). The lookup key is
+    the RAW lower-cased host, port stripped — the reference's
+    _extract_domain (scorers.py:455-493) does NOT fold 'www.', so a
+    weights map keyed 'python.org' misses 'www.python.org' there too;
+    stripping it here would silently diverge frontier ordering."""
     from crawl4ai_spark.functions.urls import host_col
 
-    host = F.regexp_replace(host_col(url), r"^www\.", "")
+    host = host_col(url)
     expr = F.lit(default_weight)
     for d, s in domain_weights.items():
         expr = F.when(host == d.lower(), F.lit(s)).otherwise(expr)

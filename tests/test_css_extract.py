@@ -151,3 +151,19 @@ def test_xpath_schema_end_to_end():
         engine="xpath",
     )
     assert out == [{"p2": "world"}]
+
+
+def test_select_quoted_attribute_values():
+    """Spaces and commas inside quoted [attr=\"...\"] values must not split
+    the selector into garbage tokens/branches."""
+    from crawl4ai_spark.html.parser import parse_html
+    from crawl4ai_spark.html.css_select import select
+
+    root = parse_html(
+        '<div title="a b"><span alt="x,y">1</span></div>'
+        '<p title="a b">2</p><p title="ab">3</p>'
+    )
+    assert [n.text() for n in select(root, 'div[title="a b"]')] == ["1"]
+    assert [n.text() for n in select(root, 'span[alt="x,y"]')] == ["1"]
+    # commas OUTSIDE brackets still split branches
+    assert [n.text() for n in select(root, 'p[title="a b"], p[title="ab"]')] == ["2", "3"]

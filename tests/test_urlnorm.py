@@ -9,6 +9,7 @@ for the extended normalizer (utils.py:2122-2205) and the deep-crawl variant
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.urlnorm import (
     get_base_domain,
@@ -134,3 +135,133 @@ def test_udfs_match_python(spark):
     for h, row in zip(hrefs, out):
         assert row.n1 == normalize_url(h, BASE)
         assert row.n2 == normalize_url_for_deep_crawl(h, BASE)
+
+
+def test_content_type_filter_bare_domain_passes(spark):
+    """Reference parity (_extract_extension filters.py:362-381): a URL with
+    no path has no extension — the hostname TLD is not an extension."""
+    from crawl4ai_spark.operators.filters import content_type_filter
+
+    df = spark.createDataFrame(
+        [("https://example.com",), ("https://example.com:8080",),
+         ("https://example.com?q=1",), ("https://example.com/x.html",),
+         ("https://example.com/x.exe",), ("https://example.com/a.php?x=1.jpg",)],
+        "url string",
+    )
+    got = {
+        r.url: r.ok
+        for r in df.select(
+            "url", content_type_filter(F.col("url"), ["text/html"]).alias("ok")
+        ).collect()
+    }
+    assert got["https://example.com"] is True
+    assert got["https://example.com:8080"] is True
+    assert got["https://example.com?q=1"] is True
+    assert got["https://example.com/x.html"] is True
+    assert got["https://example.com/x.exe"] is False
+    # reference quirk: the query is NOT stripped, 'jpg' is the extension
+    assert got["https://example.com/a.php?x=1.jpg"] is False
+
+
+def test_url_pattern_filter_empty_list_matches_nothing(spark):
+    from crawl4ai_spark.operators.filters import url_pattern_filter
+
+    df = spark.createDataFrame([("https://e.example/x",)], "url string")
+    assert df.filter(url_pattern_filter(F.col("url"), [])).count() == 0
+    assert df.filter(url_pattern_filter(F.col("url"), [], reverse=True)).count() == 1
+
+
+def test_domain_authority_raw_host_lookup(spark):
+    """Reference parity (_extract_domain scorers.py:455-493): the lookup key
+    is the raw host — 'www.python.org' does NOT match 'python.org'."""
+    from crawl4ai_spark.operators.scorers import domain_authority_score
+
+    df = spark.createDataFrame(
+        [("https://www.python.org/x",), ("https://python.org/x",)], "url string"
+    )
+    got = [
+        r.s
+        for r in df.select(
+            domain_authority_score(F.col("url"), {"python.org": 1.0}).alias("s")
+        ).collect()
+    ]
+    assert got == [0.5, 1.0]
+
+
+def test_seo_score_headpeekr_parity(spark):
+    """Differential vs a pure-Python transcription of the reference's
+    SEOFilter scoring (filters.py:576-687 + HeadPeekr utils.py:2840-2862):
+    attr order/quote-style freedom, IGNORECASE|DOTALL title, meta-only
+    canonical, last-meta-wins, property= fallback."""
+    import re
+    from urllib.parse import urlparse
+
+    from crawl4ai_spark.operators.filters import SEO_DEFAULT_WEIGHTS, seo_score_col
+
+    def ref_meta(head):
+        out = {}
+        for m in re.finditer(r"<meta[^>]+>", head):
+            t = m.group(0)
+            nm = re.search(r'name=["\'](.*?)["\']', t)
+            pm = re.search(r'property=["\'](.*?)["\']', t)
+            cm = re.search(r'content=["\'](.*?)["\']', t)
+            if cm and (nm or pm):
+                out[(nm or pm).group(1)] = cm.group(1)
+        return out
+
+    def ref_score(head, url, kws):
+        meta = ref_meta(head)
+        tm = re.search(r"<title>(.*?)</title>", head, re.I | re.S)
+        title = tm.group(1) if tm else ""
+        ln = len(title)
+        tl = 1.0 if 50 <= ln <= 60 else (0.7 if (40 <= ln < 50 or 60 < ln <= 70) else 0.3)
+        kw = min(len(re.findall(r"\b(%s)\b" % "|".join(map(re.escape, kws)), title, re.I)) * 0.3, 1.0)
+        d = len(meta.get("description", ""))
+        md = 1.0 if 140 <= d <= 160 else (0.5 if 120 <= d <= 200 else 0.2)
+        c = meta.get("canonical")
+        canon = 0.5 if not c else (1.0 if c == url else 0.2)
+        robot = 1.0 if "noindex" not in meta.get("robots", "") else 0.0
+        schema = 1.0 if re.search(r'<script[^>]+type=["\']application/ld\+json', head) else 0.0
+        pu = urlparse(url)
+        p = pu.path.lower()
+        q = 1.0
+        if len(p) > 80:
+            q *= 0.7
+        if re.search(r"\d{4}", p):
+            q *= 0.8
+        if pu.query:
+            q *= 0.6
+        if "_" in p:
+            q *= 0.9
+        parts = dict(title_length=tl, title_kw=kw, meta_description=md,
+                     canonical=canon, robot_ok=robot, schema_org=schema, url_quality=q)
+        return round(sum(SEO_DEFAULT_WEIGHTS[k] * v for k, v in parts.items()), 6)
+
+    cases = [
+        ('<TITLE>Doc 1 - web crawl doc here padding padding pad</TITLE>'
+         '<meta content="noindex" name="robots">', "https://a.example/p/1"),
+        ("<title>T</title><meta name='description' content='%s'>" % ("x" * 150),
+         "https://a.example/p_2?q=1"),
+        ('<title>x</title><link rel="canonical" href="https://a.example/p/3">',
+         "https://a.example/p/3"),
+        ('<title>x</title><meta name="canonical" content="https://a.example/p/4">',
+         "https://a.example/p/4"),
+        ('<title>x</title><meta name="canonical" content="https://other/">',
+         "https://a.example/p/5"),
+        ('<title>x</title><meta property="robots" content="noindex">',
+         "https://a.example/2024/x"),
+        ('<title>x</title><meta name="robots" content="index">'
+         '<meta name="robots" content="noindex">', "https://a.example/a"),
+        ('<title>mult\niline crawl doc</title>'
+         '<script type="application/ld+json">{}</script>', "https://a.example/a"),
+        ('<meta name="description2" content="%s">' % ("y" * 150), "https://a.example/a"),
+    ]
+    df = spark.createDataFrame(cases, "head string, url string")
+    got = [
+        r.s
+        for r in df.select(
+            F.round(seo_score_col(F.col("head"), F.col("url"), keywords=["doc", "crawl"]), 6).alias("s")
+        ).collect()
+    ]
+    want = [ref_score(h, u, ["doc", "crawl"]) for h, u in cases]
+    assert all(abs(g - w) < 1e-9 for g, w in zip(got, want)), list(zip(got, want))
