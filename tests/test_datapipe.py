@@ -910,3 +910,50 @@ def test_blob_features_rejects_non_power_of_two_bins(spark):
         extract_blob_features(df, bins=10)
     rows = extract_blob_features(df, bins=8).collect()
     assert len(rows[0].feature) == 8
+
+
+def test_unigram_lm_hand_computed(spark):
+    """Corpus 'a a b' / 'b c', vocab_size=2, alpha=1: n=5, denom=8; the
+    count tie a=2,b=2 breaks token-asc; c is OOV. doc0 ppl = 8/3,
+    doc1 ppl = 8/sqrt(3)."""
+    import math
+
+    from crawl4ai_spark.datapipe.lm import (
+        perplexity_filter,
+        score_perplexity,
+        train_unigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "   ")], "doc_id long, text string"
+    )
+    vocab, oov, n = train_unigram_lm(df, vocab_size=2, alpha=1.0)
+    assert n == 5
+    got_vocab = {r.token: r.logp for r in vocab.collect()}
+    assert set(got_vocab) == {"a", "b"}
+    assert abs(got_vocab["a"] - math.log(3 / 8)) < 1e-12
+    assert abs(oov - math.log(1 / 8)) < 1e-12
+
+    ppl = {r.doc_id: (r.n_tokens, r.ppl) for r in
+           score_perplexity(df, vocab, oov).collect()}
+    assert ppl[0][0] == 3 and abs(ppl[0][1] - 8 / 3) < 1e-9
+    assert ppl[1][0] == 2 and abs(ppl[1][1] - 8 / math.sqrt(3)) < 1e-9
+    # whitespace-only doc: present, zero tokens, NULL perplexity
+    assert ppl[2] == (0, None)
+
+    # the gate keeps only under-threshold docs; the empty doc is dropped
+    kept = perplexity_filter(df, vocab, oov, max_ppl=3.0).collect()
+    assert [r.doc_id for r in kept] == [0]
+
+    # scoring join is broadcast — the corpus side must not shuffle for it
+    plan = score_perplexity(df, vocab, oov)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_lm_vocab_tiebreak_deterministic(spark):
+    from crawl4ai_spark.datapipe.lm import train_unigram_lm
+
+    df = spark.createDataFrame([(0, "b a b a")], "doc_id long, text string")
+    for _ in range(3):
+        vocab, _, _ = train_unigram_lm(df.repartition(5), vocab_size=1)
+        assert [r.token for r in vocab.collect()] == ["a"]
