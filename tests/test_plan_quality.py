@@ -227,3 +227,17 @@ def test_extraction_is_single_python_stage(spark, pages):
     plan = _plan(extract_pages(pages.limit(3)))
     # fused UDF ⇒ exactly one ArrowEvalPython node in the plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_lm_train_is_partial_agg_plus_distributed_topk(spark, sf_dir):
+    from crawl4ai_spark.datapipe.lm import train_unigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab, _, _ = train_unigram_lm(docs, vocab_size=16)
+    plan = _plan(vocab)
+    # token counts combine map-side before the one token-keyed exchange
+    assert "partial_count" in plan
+    # the vocabulary selection is a distributed top-K (every partition
+    # contributes a local top-K), never a single-task global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
