@@ -38,6 +38,7 @@ def train_unigram_lm(
     text_col: str = "text",
     vocab_size: int = 50_000,
     alpha: float = 1.0,
+    materialize: bool = True,
 ) -> tuple[DataFrame, float, int]:
     """Train the smoothed unigram model: returns ``(vocab, oov_logp, n)``
     where ``vocab`` is a (token, logp) DataFrame of the top-``vocab_size``
@@ -54,9 +55,12 @@ def train_unigram_lm(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # two driver scalars (n, and implicitly V from the limit) — the counts
-    # table is vocabulary-sized, the sum is one partial-agg job
-    n = int(counts.agg(F.sum("c")).first()[0] or 0)
+    # n via a MAP-ONLY sum of per-document token counts — computing it
+    # from `counts` would evaluate the token-keyed shuffle (the expensive
+    # train stage) once here and again for the vocabulary below
+    n = int(
+        df.agg(F.sum(F.size(tokens_col(text_col)))).first()[0] or 0
+    )
     denom = float(n) + alpha * (vocab_size + 1)
     vocab = (
         counts.orderBy(F.col("c").desc(), F.col("token").asc())
@@ -66,6 +70,15 @@ def train_unigram_lm(
             F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
         )
     )
+    # materialize the (≤ vocab_size)-row vocabulary as a LOCAL relation:
+    # every later consumer (the scoring broadcast, repeated queries) would
+    # otherwise re-run the full corpus tokenize+shuffle train plan.
+    # materialize=False keeps the lazy plan (plan-shape tests).
+    if materialize:
+        spark = df.sparkSession
+        vocab = spark.createDataFrame(
+            vocab.collect(), schema="token string, logp double"
+        )
     oov_logp = math.log(alpha / denom) if denom > 0 else 0.0
     return vocab, oov_logp, n
 

@@ -145,6 +145,31 @@ def link_intrinsic_score(
     return max(0.0, min(score, 10.0))
 
 
+_IMG_CHECK_WORDS = ("button", "icon", "logo")
+
+
+def image_excluded(node: Node) -> bool:
+    """The reference's quick-validation block (content_scraping_strategy
+    .py:463-470): an image is dropped BEFORE scoring when its style hides
+    it, its parent is a button/input, or 'button'/'icon'/'logo' appears in
+    src or alt. The parent-class leg preserves the reference's REVERSED
+    containment quirk — it tests each parent class string as a substring
+    OF the check words ('b' in 'button'), not the other way around."""
+    style = node.attrs.get("style") or ""
+    alt = node.attrs.get("alt") or ""
+    src = node.attrs.get("src") or ""
+    parent = node.parent
+    parent_tag = parent.tag if parent is not None else ""
+    parent_classes = parent.classes() if parent is not None else []
+    return (
+        "display:none" in style
+        or parent_tag in ("button", "input")
+        or any(c in w for c in parent_classes for w in _IMG_CHECK_WORDS)
+        or any(w in src for w in _IMG_CHECK_WORDS)
+        or any(w in alt for w in _IMG_CHECK_WORDS)
+    )
+
+
 def score_image(node: Node, index: int, total: int) -> int:
     """Image usefulness score, reference-exact (content_scraping_strategy
     .py:453-505): +1 per dimension that is all-digits and > 150 (a
@@ -188,9 +213,8 @@ def is_data_table(table: Node) -> tuple[float, list[Node]]:
     text/tag density > 20 +3 (> 10 +2), +0.5 per data-* attribute,
     ≥ 2 columns × ≥ 2 rows +2. Returns (score, body_rows); a table with
     no rows scores −inf (the reference returns False outright). Cell text
-    length uses the collapsed-whitespace text of this parser where bs4
-    get_text() keeps raw runs — identical on normal cells, a few chars
-    off on whitespace-heavy ones."""
+    length uses ``raw_text()`` — the exact analog of bs4 get_text(), so
+    whitespace-heavy cells measure identically."""
     score = 0.0
     has_thead = table.find("thead") is not None
     if has_thead:
@@ -232,7 +256,7 @@ def is_data_table(table: Node) -> tuple[float, list[Node]]:
     if table.attrs.get("summary"):
         score += 1
     total_text = sum(
-        len(cell.text().strip()) for r in rows for cell in r.find_all("td", "th")
+        len(cell.raw_text().strip()) for r in rows for cell in r.find_all("td", "th")
     )
     total_tags = sum(1 for _ in table.iter()) - 1  # descendants, excl. self
     if total_text / (total_tags + 1e-5) > 20:
@@ -513,6 +537,10 @@ def scrape_page(
     media: list[dict] = []
     imgs = body.find_all("img")
     for i, img in enumerate(imgs):
+        # reference quick-validation: hidden / button-parented /
+        # logo-icon-button images never reach scoring
+        if image_excluded(img):
+            continue
         score = score_image(img, i, len(imgs))
         # reference drops score <= threshold (strict keep-above)
         if score <= image_score_threshold:

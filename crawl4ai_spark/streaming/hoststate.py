@@ -35,7 +35,11 @@ OUTPUT_SCHEMA = (
 )
 # done_iter: highest iteration id already folded into the state — the
 # idempotence guard against an iteration's files splitting across
-# micro-batches (see stream_host_state docstring)
+# micro-batches (see stream_host_state docstring). NB state-store schema:
+# a checkpoint written under an OLDER schema cannot resume under a new
+# one (Spark's state store does not migrate rows) — changing this schema
+# requires a fresh checkpointLocation, discarding accumulated host state;
+# version the checkpoint directory alongside the library when upgrading.
 STATE_SCHEMA = (
     "current_delay double, fail_count int, last_iter bigint, done_iter bigint"
 )

@@ -380,3 +380,21 @@ def test_content_relevance_matches_reference_formula(spark):
         assert abs(got[h] - ref_score(h, query)) < 1e-9, h
     # the og:/author head must actually differ from a desc+kw-only reading
     assert got[heads[1]] > 0.0
+
+
+def test_image_quick_validation_excludes_logos_and_hidden():
+    """Reference parity (content_scraping_strategy.py:463-470): hidden,
+    button-parented, and logo/icon/button images never reach the media
+    list regardless of score."""
+    from crawl4ai_spark.html.scrape import scrape_page
+
+    html = (
+        "<html><body>"
+        '<img src="/logo.png" width="300" height="300" alt="Company logo">'
+        '<img src="/hero.png" width="300" height="300" alt="A hero image">'
+        '<img src="/h2.png" width="300" height="300" alt="kept" style="display:none">'
+        '<button><img src="/b.png" width="300" height="300" alt="inside button"></button>'
+        "</body></html>"
+    )
+    out = scrape_page(html, "https://e.example/p")
+    assert [m["src"] for m in out["media"]] == ["/hero.png"]

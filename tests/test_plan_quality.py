@@ -233,7 +233,7 @@ def test_lm_train_is_partial_agg_plus_distributed_topk(spark, sf_dir):
     from crawl4ai_spark.datapipe.lm import train_unigram_lm
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    vocab, _, _ = train_unigram_lm(docs, vocab_size=16)
+    vocab, _, _ = train_unigram_lm(docs, vocab_size=16, materialize=False)
     plan = _plan(vocab)
     # token counts combine map-side before the one token-keyed exchange
     assert "partial_count" in plan
