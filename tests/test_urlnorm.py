@@ -189,53 +189,11 @@ def test_domain_authority_raw_host_lookup(spark):
 
 
 def test_seo_score_headpeekr_parity(spark):
-    """Differential vs a pure-Python transcription of the reference's
-    SEOFilter scoring (filters.py:576-687 + HeadPeekr utils.py:2840-2862):
-    attr order/quote-style freedom, IGNORECASE|DOTALL title, meta-only
-    canonical, last-meta-wins, property= fallback."""
-    import re
-    from urllib.parse import urlparse
-
-    from crawl4ai_spark.operators.filters import SEO_DEFAULT_WEIGHTS, seo_score_col
-
-    def ref_meta(head):
-        out = {}
-        for m in re.finditer(r"<meta[^>]+>", head):
-            t = m.group(0)
-            nm = re.search(r'name=["\'](.*?)["\']', t)
-            pm = re.search(r'property=["\'](.*?)["\']', t)
-            cm = re.search(r'content=["\'](.*?)["\']', t)
-            if cm and (nm or pm):
-                out[(nm or pm).group(1)] = cm.group(1)
-        return out
-
-    def ref_score(head, url, kws):
-        meta = ref_meta(head)
-        tm = re.search(r"<title>(.*?)</title>", head, re.I | re.S)
-        title = tm.group(1) if tm else ""
-        ln = len(title)
-        tl = 1.0 if 50 <= ln <= 60 else (0.7 if (40 <= ln < 50 or 60 < ln <= 70) else 0.3)
-        kw = min(len(re.findall(r"\b(%s)\b" % "|".join(map(re.escape, kws)), title, re.I)) * 0.3, 1.0)
-        d = len(meta.get("description", ""))
-        md = 1.0 if 140 <= d <= 160 else (0.5 if 120 <= d <= 200 else 0.2)
-        c = meta.get("canonical")
-        canon = 0.5 if not c else (1.0 if c == url else 0.2)
-        robot = 1.0 if "noindex" not in meta.get("robots", "") else 0.0
-        schema = 1.0 if re.search(r'<script[^>]+type=["\']application/ld\+json', head) else 0.0
-        pu = urlparse(url)
-        p = pu.path.lower()
-        q = 1.0
-        if len(p) > 80:
-            q *= 0.7
-        if re.search(r"\d{4}", p):
-            q *= 0.8
-        if pu.query:
-            q *= 0.6
-        if "_" in p:
-            q *= 0.9
-        parts = dict(title_length=tl, title_kw=kw, meta_description=md,
-                     canonical=canon, robot_ok=robot, schema_org=schema, url_quality=q)
-        return round(sum(SEO_DEFAULT_WEIGHTS[k] * v for k, v in parts.items()), 6)
+    """Hand-picked adversarial heads vs the shared reference transcription
+    (_ref_seo_score below): attr order/quote-style freedom,
+    IGNORECASE|DOTALL title, meta-only canonical, last-meta-wins,
+    property= fallback."""
+    from crawl4ai_spark.operators.filters import seo_score_col
 
     cases = [
         ('<TITLE>Doc 1 - web crawl doc here padding padding pad</TITLE>'
@@ -263,5 +221,137 @@ def test_seo_score_headpeekr_parity(spark):
             F.round(seo_score_col(F.col("head"), F.col("url"), keywords=["doc", "crawl"]), 6).alias("s")
         ).collect()
     ]
-    want = [ref_score(h, u, ["doc", "crawl"]) for h, u in cases]
+    want = [_ref_seo_score(h, u, ["doc", "crawl"]) for h, u in cases]
     assert all(abs(g - w) < 1e-9 for g, w in zip(got, want)), list(zip(got, want))
+
+
+def _ref_seo_score(head, url, kws):
+    """Python transcription of the reference SEOFilter scoring
+    (filters.py:576-687 + HeadPeekr utils.py:2840-2862)."""
+    import re
+    from urllib.parse import urlparse
+
+    from crawl4ai_spark.operators.filters import SEO_DEFAULT_WEIGHTS
+
+    meta = {}
+    for m in re.finditer(r"<meta[^>]+>", head):
+        t = m.group(0)
+        nm = re.search(r'name=["\'](.*?)["\']', t)
+        pm = re.search(r'property=["\'](.*?)["\']', t)
+        cm = re.search(r'content=["\'](.*?)["\']', t)
+        if cm and (nm or pm):
+            meta[(nm or pm).group(1)] = cm.group(1)
+    tm = re.search(r"<title>(.*?)</title>", head, re.I | re.S)
+    title = tm.group(1) if tm else ""
+    ln = len(title)
+    tl = 1.0 if 50 <= ln <= 60 else (0.7 if (40 <= ln < 50 or 60 < ln <= 70) else 0.3)
+    kw = min(len(re.findall(r"\b(%s)\b" % "|".join(map(re.escape, kws)), title, re.I)) * 0.3, 1.0)
+    d = len(meta.get("description", ""))
+    md = 1.0 if 140 <= d <= 160 else (0.5 if 120 <= d <= 200 else 0.2)
+    c = meta.get("canonical")
+    canon = 0.5 if not c else (1.0 if c == url else 0.2)
+    robot = 1.0 if "noindex" not in meta.get("robots", "") else 0.0
+    schema = 1.0 if re.search(r'<script[^>]+type=["\']application/ld\+json', head) else 0.0
+    pu = urlparse(url)
+    p = pu.path.lower()
+    q = 1.0
+    if len(p) > 80:
+        q *= 0.7
+    if re.search(r"\d{4}", p):
+        q *= 0.8
+    if pu.query:
+        q *= 0.6
+    if "_" in p:
+        q *= 0.9
+    parts = dict(title_length=tl, title_kw=kw, meta_description=md, canonical=canon,
+                 robot_ok=robot, schema_org=schema, url_quality=q)
+    return round(sum(SEO_DEFAULT_WEIGHTS[k] * v for k, v in parts.items()), 6)
+
+
+def test_seo_score_fuzz_differential(spark):
+    """150 seeded-random heads (shuffled attr order, mixed quotes, cased/
+    multiline titles, duplicate metas, name/property keys) batch-scored in
+    Spark vs the reference transcription."""
+    import random
+
+    from crawl4ai_spark.operators.filters import seo_score_col
+
+    rng = random.Random(0)
+    kws = ["doc", "crawl"]
+    words = ["doc", "crawl", "spark", "page", "words", "title", "x"]
+
+    def rand_head_url(i):
+        parts = []
+        if rng.random() < 0.9:
+            t = " ".join(rng.choices(words, k=rng.randint(0, 14)))
+            if rng.random() < 0.3:
+                t = t.replace(" ", "\n", 1)
+            tag = "TITLE" if rng.random() < 0.3 else "title"
+            parts.append(f"<{tag}>{t}</{tag}>")
+        for _ in range(rng.randint(0, 4)):
+            key = rng.choice(["description", "robots", "canonical", "keywords", "og:x"])
+            kattr = rng.choice(["name", "property"])
+            qch = rng.choice(['"', "'"])
+            content = rng.choice([
+                "x" * rng.randint(0, 210), "noindex, nofollow", "index",
+                f"https://h{i}.example/p", "short",
+            ])
+            attrs = [f"{kattr}={qch}{key}{qch}", f"content={qch}{content}{qch}"]
+            rng.shuffle(attrs)
+            parts.append("<meta " + " ".join(attrs) + ">")
+        if rng.random() < 0.3:
+            parts.append('<script type="application/ld+json">{}</script>')
+        rng.shuffle(parts)
+        path = "/" + "/".join(rng.choices(["a", "2024", "x_y", "p" * 30], k=rng.randint(0, 4)))
+        url = f"https://h{i}.example{path}" + ("?q=1" if rng.random() < 0.4 else "")
+        return "".join(parts), url
+
+    cases = [rand_head_url(i) for i in range(150)]
+    df = spark.createDataFrame(cases, "head string, url string")
+    got = [
+        r.s
+        for r in df.select(
+            F.round(seo_score_col(F.col("head"), F.col("url"), keywords=kws), 6).alias("s")
+        ).collect()
+    ]
+    want = [_ref_seo_score(h, u, kws) for h, u in cases]
+    bad = [(i, g, w) for i, (g, w) in enumerate(zip(got, want)) if abs(g - w) > 1e-9]
+    assert not bad, (bad[:5], cases[bad[0][0]] if bad else None)
+
+
+def test_content_type_filter_fuzz_differential(spark):
+    """Seeded-random URLs vs a transcription of the reference's
+    _extract_extension (filters.py:362-381)."""
+    import random
+
+    from crawl4ai_spark.operators.filters import _EXT_MIME, content_type_filter
+
+    allowed = ["text/html", "text/plain"]
+    allowed_exts = {e for e, m in _EXT_MIME.items() if any(a in m for a in allowed)}
+
+    def ref_pass(url):
+        u = url.split("://", 1)[-1] if "://" in url else url
+        start = u.find("/")
+        path = u[start:] if start != -1 else ""
+        filename = path.rsplit("/", 1)[-1] if "/" in path else ""
+        if "." not in filename:
+            return True
+        return filename.rpartition(".")[-1].lower() in allowed_exts
+
+    rng = random.Random(1)
+    segs = ["a", "b.html", "x.exe", "y.txt", "img.PNG", "q?z=1.jpg", "no-dot", "v1.2.pdf"]
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["https://", "http://", ""])
+        host = f"h{i}.example" + rng.choice(["", ":8080"])
+        path = "".join("/" + rng.choice(segs) for _ in range(rng.randint(0, 3)))
+        urls.append(scheme + host + path)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.ok
+        for r in df.select(
+            "url", content_type_filter(F.col("url"), allowed).alias("ok")
+        ).collect()
+    }
+    bad = [u for u in urls if got[u] != ref_pass(u)]
+    assert not bad, bad[:5]
