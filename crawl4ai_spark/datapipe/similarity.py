@@ -44,10 +44,19 @@ def _as_double(vec: Column) -> Column:
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a (possibly single-file) corpus across all cores before
     a CPU-bound per-row scoring stage — higher-order array expressions are
-    interpreted (not codegen'd), so partition count IS the parallelism."""
+    interpreted (not codegen'd), so partition count IS the parallelism.
+
+    CONDITIONAL: a corpus that is already at least as wide as
+    ``defaultParallelism`` keeps its partitioning untouched —
+    ``repartition(n)`` is a full exchange even when n equals the current
+    count, and at 100 TB the scan is always ≫ core-count partitions wide,
+    so the inline ANN legs must honor the module's "one scan, no corpus
+    shuffle" contract there. The single ``getNumPartitions()`` probe is
+    paid once, only at plan-build time (no job runs)."""
     sc = df.sparkSession.sparkContext
-    n = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
-    return df.repartition(n)
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def dot_col(a: Column, b: Column) -> Column:

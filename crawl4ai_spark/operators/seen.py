@@ -120,10 +120,21 @@ def build_bloom(
     return out
 
 
-def bloom_maybe_contains_col(spark, bloom: BloomFilterSet, key: Column) -> Column:
+def bloom_maybe_contains_col(
+    spark, bloom: BloomFilterSet, key: Column, bits_bc=None
+) -> Column:
     """Column: True when the bloom MAY contain xxhash64(key). Broadcast the
-    bitset once per call site (executors fetch it lazily)."""
-    bits_bc = spark.sparkContext.broadcast(bloom.bits.tobytes())
+    bitset once per call site (executors fetch it lazily).
+
+    ``bits_bc``: a caller-owned ``sparkContext.broadcast(bloom.bits.
+    tobytes())`` handle. Long-running callers (the crawl loop builds a
+    fresh bloom EVERY iteration) must own the handle and ``destroy()`` it
+    once the iteration's jobs commit — otherwise a 10k-iteration crawl
+    accumulates ~10 GiB of dead bitset broadcasts on the driver and every
+    executor. Without it a one-shot internal broadcast is created (fine
+    for single-query callers; it dies with the SparkContext)."""
+    if bits_bc is None:
+        bits_bc = spark.sparkContext.broadcast(bloom.bits.tobytes())
     num_bits, num_hashes = bloom.num_bits, bloom.num_hashes
 
     @F.pandas_udf(T.BooleanType())

@@ -140,6 +140,18 @@ class CrawlRun:
         self.t_lineage = SnapshotTable(os.path.join(workdir, "lineage"))
         self.t_host_state = SnapshotTable(os.path.join(workdir, "host_state"))
         self.scorer = self.config.scorer or _zero_scorer
+        # the current iteration's bloom-bitset broadcast: created in step 6,
+        # destroyed at the end of the SAME iteration (all jobs that read it
+        # have committed by then) — holding it any longer leaks one dead
+        # ~1 MiB broadcast per iteration on driver and executors
+        self._bloom_bc = None
+
+    def _destroy_bloom_bc(self) -> None:
+        if self._bloom_bc is not None:
+            try:
+                self._bloom_bc.destroy()
+            finally:
+                self._bloom_bc = None
 
     # -- state ---------------------------------------------------------------
 
@@ -167,14 +179,19 @@ class CrawlRun:
         (a resumed mega-frontier injected as "seeds") the distributed
         path with identical semantics takes over."""
         cfg = self.config
-        n_hint = self.seeds.count()
-        if n_hint <= cfg.broadcast_frontier_max:
+        # ONE probe job decides the path AND (on the fast path) delivers the
+        # rows: limit(max+1).collect() — if it returns ≤ max rows that IS
+        # the whole seed list, so the separate count() job the old protocol
+        # paid is folded away; > max rows means "mega-frontier", take the
+        # distributed path (the over-fetch is bounded at max+1 rows)
+        probe = self.seeds.select("url").limit(cfg.broadcast_frontier_max + 1).collect()
+        if len(probe) <= cfg.broadcast_frontier_max:
             from crawl4ai_spark.functions.urlnorm import (
                 normalize_url_for_deep_crawl,
             )
 
             dedup: dict[str, str] = {}
-            for r in self.seeds.select("url").collect():
+            for r in probe:
                 u = r["url"]
                 norm = normalize_url_for_deep_crawl(u, u)
                 dedup.setdefault(norm, u)
@@ -520,9 +537,15 @@ class CrawlRun:
             # released as soon as that count returns.
             from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
 
+            self._destroy_bloom_bc()  # paranoia: a prior failed iteration
+            self._bloom_bc = self.spark.sparkContext.broadcast(
+                bloom.bits.tobytes()
+            )
             flagged = candidates.withColumn(
                 "_maybe_seen",
-                bloom_maybe_contains_col(self.spark, bloom, F.col("url_norm")),
+                bloom_maybe_contains_col(
+                    self.spark, bloom, F.col("url_norm"), bits_bc=self._bloom_bc
+                ),
             ).persist()
             candidates = flagged
         new_urls = dedup_against_seen(
@@ -687,6 +710,9 @@ class CrawlRun:
 
         for df in (selected, gated, results, candidates, new_urls):
             df.unpersist()
+        # every job that read the bloom probe has committed; release the
+        # bitset broadcast so long crawls hold O(1) broadcasts, not O(iters)
+        self._destroy_bloom_bc()
         return {
             "done": False,
             "iteration": iteration,

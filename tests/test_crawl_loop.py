@@ -426,6 +426,76 @@ def test_stream_never_sees_uncommitted_or_replaced_data(spark, tmp_path):
         r.stream(spark)
 
 
+def test_bootstrap_fast_path_is_one_probe_job(spark, pages):
+    """The config-sized seed bootstrap pays exactly ONE driver-thread Spark
+    job: limit(max+1).collect() both decides the path and delivers the rows
+    (the old protocol paid a separate count()). The snapshot commits run in
+    pool threads and don't inherit the job group, so the group counts only
+    the driver thread's control-flow jobs."""
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3),
+        tempfile.mkdtemp(prefix="c4ai_boot_"),
+        CrawlConfig(mode="bfs", max_pages=20, max_depth=1),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bootstrap_probe_test", "bootstrap")
+    try:
+        run._bootstrap()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("bootstrap_probe_test")
+    assert len(jobs) == 1, f"bootstrap ran {len(jobs)} driver-thread jobs: {jobs}"
+    # and the bootstrap still produced a correct frontier
+    assert run.state()["iteration"] == 0
+    assert run.state()["n_frontier"] == 3
+
+
+def test_bloom_broadcasts_destroyed_per_iteration(spark, pages, monkeypatch):
+    """Long-crawl broadcast hygiene: the loop builds a fresh bloom bitset
+    broadcast every iteration — each must be destroy()ed by the end of its
+    iteration, or a 10k-iteration crawl accumulates ~10 GiB of dead
+    broadcasts on driver and executors. Spy on SparkContext.broadcast and
+    assert live-count stays 0 after ≥20 bloom iterations."""
+    from pyspark import SparkContext
+
+    bits_len = (1 << 16) // 8
+    created, destroyed = [], []
+    orig_broadcast = SparkContext.broadcast
+
+    def spy_broadcast(self, value):
+        bc = orig_broadcast(self, value)
+        if isinstance(value, bytes) and len(value) == bits_len:
+            created.append(bc)
+            orig_destroy = bc.destroy
+
+            def spy_destroy(blocking=False, _od=orig_destroy, _bc=bc):
+                destroyed.append(_bc)
+                return _od(blocking)
+
+            bc.destroy = spy_destroy
+        return bc
+
+    monkeypatch.setattr(SparkContext, "broadcast", spy_broadcast)
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3),
+        tempfile.mkdtemp(prefix="c4ai_bloomgc_"),
+        CrawlConfig(
+            mode="bfs", max_pages=100000, max_depth=30, host_budget=1,
+            bloom_min_seen=1, bloom_bits=1 << 16, include_external=True,
+        ),
+    )
+    stats = run.run(max_iterations=22)
+    n_iter = len([s for s in stats if not s.get("done")])
+    assert n_iter >= 20, f"crawl ended after {n_iter} iterations"
+    # the bloom engages from iteration 1 (needs a committed seen set)
+    assert len(created) >= n_iter - 1
+    assert len(created) - len(destroyed) == 0, (
+        f"{len(created) - len(destroyed)} bloom broadcasts leaked over "
+        f"{n_iter} iterations"
+    )
+    assert run._bloom_bc is None
+
+
 def test_bloom_path_visit_set_matches_exact_path(spark, pages):
     """Force the bloom pre-filter on (bloom_min_seen=1: engages from
     iteration 2) — the visit set must equal the exact anti-join run's,

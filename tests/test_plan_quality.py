@@ -203,6 +203,47 @@ def test_ann_sheds_vectors_before_window(spark, sf_dir):
     assert "_qvec" not in exchange_sections[0].split("+-")[0]
 
 
+def test_ann_bruteforce_no_corpus_exchange_when_prewide(spark, sf_dir):
+    """The inline ANN legs' "one scan, no corpus shuffle" contract: over a
+    corpus already ≥ defaultParallelism partitions wide, _spread must be a
+    no-op — the ONLY Exchange in the whole plan is the rank window's
+    hashpartitioning(query_id). At 100 TB the scan is always pre-wide, so
+    an unconditional repartition here would bill a corpus-sized shuffle."""
+    from crawl4ai_spark.datapipe.similarity import ann_bruteforce_topk
+
+    wide_n = spark.sparkContext.defaultParallelism + 2
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(wide_n).cache()
+    try:
+        e.count()  # materialize so the ANN plan starts at an InMemoryTableScan
+        q = e.filter("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = _plan(ann_bruteforce_topk(e, q, k=3))
+        # judge only the plan ABOVE the cached relation (the cache's own
+        # lineage prints the test's repartition, which is not part of the
+        # ANN query)
+        above = plan.split("InMemoryRelation")[0]
+        assert "RoundRobinPartitioning" not in above
+        exchanges = above.split("Exchange")[1:]
+        assert exchanges, "expected the rank window's exchange"
+        assert all(
+            "hashpartitioning(query_id" in s.splitlines()[0] for s in exchanges
+        ), "corpus-side Exchange leaked into a pre-wide ANN plan:\n" + plan
+    finally:
+        e.unpersist()
+
+
+def test_ann_bruteforce_spreads_narrow_corpus(spark, sf_dir):
+    # the other direction: a single-partition corpus (one small file) must
+    # still be spread across cores before the interpreted scoring stage
+    from crawl4ai_spark.datapipe.similarity import ann_bruteforce_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").coalesce(1)
+    q = e.filter("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(ann_bruteforce_topk(e, q, k=3))
+    assert "RoundRobinPartitioning" in plan
+
+
 def test_ann_ivf_broadcasts_probes_and_sheds_vectors(spark, sf_dir):
     from crawl4ai_spark.datapipe.similarity import ann_ivf_topk, ivf_centroids
 
