@@ -36,6 +36,15 @@ from pyspark.sql import functions as F
 from crawl4ai_spark.datapipe.dedup import HOT_BUCKET_CAP, minhash_dedup_pairs
 
 
+# auto mode probes label propagation for this many rounds before falling
+# back to star contraction: near-duplicate graphs are quasi-cliques that
+# converge in 2-4 rounds, so a graph still unconverged after 8 is
+# chain-shaped — exactly where the O(log n) contraction wins. Without the
+# lower probe cap, auto paid the FULL max_rounds (25 joins + groupBys +
+# checkpoints) of doomed propagation before the fallback even started.
+AUTO_PROBE_ROUNDS = 8
+
+
 class ConvergenceError(RuntimeError):
     """Label propagation exceeded its round cap (graph diameter too
     large). A distinct type so ``algorithm='auto'`` falls back to star
@@ -58,11 +67,13 @@ def connected_components(
     - ``"label"`` — min-label propagation (below); rounds = graph diameter.
     - ``"star"`` — large-star/small-star contraction
       (``connected_components_star``); O(log n) rounds on ANY graph shape.
-    - ``"auto"`` (default) — label propagation, falling back to star
-      contraction if the diameter exceeds ``max_rounds`` (near-duplicate
-      graphs are quasi-cliques where label propagation converges in a
-      handful of cheaper rounds; pathological chain graphs — the case the
-      old code raised on — now complete via the contraction)."""
+    - ``"auto"`` (default) — label propagation probed for
+      ``min(max_rounds, AUTO_PROBE_ROUNDS)`` rounds, falling back to star
+      contraction on cap overrun (near-duplicate graphs are quasi-cliques
+      where label propagation converges in a handful of cheaper rounds; a
+      graph that hasn't converged by then is chain-shaped, where paying
+      the rest of the propagation budget is pure waste before the
+      contraction runs anyway)."""
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(
             f"unknown algorithm {algorithm!r}: expected 'auto', 'label' or "
@@ -70,8 +81,9 @@ def connected_components(
         )
     if algorithm == "star":
         return connected_components_star(edges, src, dst)
+    cap = max_rounds if algorithm == "label" else min(max_rounds, AUTO_PROBE_ROUNDS)
     try:
-        return _connected_components_label(edges, src, dst, max_rounds)
+        return _connected_components_label(edges, src, dst, cap)
     except ConvergenceError:
         if algorithm == "label":
             raise

@@ -46,9 +46,18 @@ def train_unigram_lm(
     reruns would ship different vocabularies), ``oov_logp`` scores every
     out-of-vocabulary token, and ``n`` is the total corpus token count.
 
-    Add-alpha smoothing over vocab_size + 1 outcomes (the +1 is the OOV
-    bucket): logp(t) = ln((c_t + alpha) / (n + alpha·(V+1))),
-    oov_logp = ln(alpha / (n + alpha·(V+1))).
+    Add-alpha smoothing over V_eff + 1 outcomes, where
+    V_eff = min(vocab_size, distinct corpus tokens) and the +1 is the OOV
+    bucket: logp(t) = ln((c_t + alpha) / (n + alpha·(V_eff+1))),
+    oov_logp = ln(alpha / (n + alpha·(V_eff+1))). Clamping to V_eff keeps
+    the model proper (probabilities sum to 1) on corpora with fewer
+    distinct tokens than the configured vocab_size — the unclamped
+    denominator over-allocated OOV mass there. When the top-K limit DOES
+    bind (distinct > vocab_size), truncated tokens all score as the single
+    OOV bucket, so the distribution under-counts their mass — the standard
+    CCNet-style vocabulary-truncation trade, not a bug. V_eff falls out of
+    the top-K collect for free (fewer than vocab_size rows back ⇔ the
+    limit never bound ⇔ row count IS the distinct count), so no extra job.
     """
     counts = (
         df.select(F.explode(tokens_col(text_col)).alias("token"))
@@ -61,23 +70,27 @@ def train_unigram_lm(
     n = int(
         df.agg(F.sum(F.size(tokens_col(text_col)))).first()[0] or 0
     )
-    denom = float(n) + alpha * (vocab_size + 1)
-    vocab = (
-        counts.orderBy(F.col("c").desc(), F.col("token").asc())
-        .limit(vocab_size)
-        .select(
-            "token",
-            F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
-        )
-    )
-    # materialize the (≤ vocab_size)-row vocabulary as a LOCAL relation:
-    # every later consumer (the scoring broadcast, repeated queries) would
-    # otherwise re-run the full corpus tokenize+shuffle train plan.
-    # materialize=False keeps the lazy plan (plan-shape tests).
+    topk = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(vocab_size)
+    # ONE evaluation of the token shuffle (same as before — the vocabulary
+    # was always collected); it now also yields V_eff for the denominator
+    rows = topk.collect()
+    v_eff = min(vocab_size, len(rows))
+    denom = float(n) + alpha * (v_eff + 1)
     if materialize:
+        # the (≤ vocab_size)-row vocabulary as a LOCAL relation: every
+        # later consumer (the scoring broadcast, repeated queries) would
+        # otherwise re-run the full corpus tokenize+shuffle train plan
         spark = df.sparkSession
         vocab = spark.createDataFrame(
-            vocab.collect(), schema="token string, logp double"
+            [(r["token"], math.log((r["c"] + alpha) / denom)) for r in rows],
+            schema="token string, logp double",
+        )
+    else:
+        # keep the lazy distributed plan (plan-shape tests) — value-
+        # identical: the denom literal came from the collect above
+        vocab = topk.select(
+            "token",
+            F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
         )
     oov_logp = math.log(alpha / denom) if denom > 0 else 0.0
     return vocab, oov_logp, n

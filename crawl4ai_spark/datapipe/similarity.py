@@ -884,9 +884,12 @@ def cosine_cluster_linkage(
         )
         hot = sized.filter(F.col("_n") > hot_bucket_cap).drop("_n")
         base = sized.filter(F.col("_n") <= hot_bucket_cap).drop("_n")
-        # exact-identical grouping for the hot tail: one window over
-        # (bucket, vector fingerprint) — linear, no matrix
-        gw = Window.partitionBy("bucket", _vec_fp_col(F.col("vec")))
+        # exact-identical grouping for the hot tail: one window keyed by the
+        # VECTOR VALUE itself — linear, no matrix, and collision-proof
+        # (keying by the 64-bit fingerprint alone would let an xxhash64
+        # collision silently merge distinct vectors into one cluster; every
+        # dedup diversion exact-verifies its candidates, this must too)
+        gw = Window.partitionBy("bucket", "vec")
         diverted = hot.select(
             "vec_id",
             "bucket",

@@ -64,17 +64,38 @@ def _matches(node: Node, simple: dict) -> bool:
     return True
 
 
-def _split_branches(selector: str) -> list[str]:
-    """Split a selector list on commas OUTSIDE attribute brackets, so
-    '[alt="x,y"]' stays one branch. (A literal ']' inside a quoted value
-    is not supported — same limit as the simple-selector regex.)"""
-    parts, buf, depth = [], [], 0
+def _scan_outside(selector: str):
+    """Yield (char, outside) where ``outside`` means "at bracket depth 0
+    and not inside a quoted string" — the ONE spelling of the depth scan
+    both tokenizers share. Quote tracking keeps a '[' inside a quoted
+    attribute value (e.g. ``[alt="a[b"]``) from corrupting the depth.
+    (A literal ']' inside a quoted value is still unsupported — the
+    simple-selector regex shares that limit.)"""
+    depth = 0
+    quote: str | None = None
     for ch in selector:
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            yield ch, False
+            continue
+        if ch in "\"'":
+            quote = ch
+            yield ch, depth == 0
+            continue
         if ch == "[":
             depth += 1
         elif ch == "]":
             depth = max(0, depth - 1)
-        if ch == "," and depth == 0:
+        yield ch, depth == 0
+
+
+def _split_branches(selector: str) -> list[str]:
+    """Split a selector list on commas OUTSIDE attribute brackets and
+    quotes, so '[alt="x,y"]' stays one branch."""
+    parts, buf = [], []
+    for ch, outside in _scan_outside(selector):
+        if ch == "," and outside:
             parts.append("".join(buf))
             buf = []
         else:
@@ -88,17 +109,12 @@ def _tokenize(selector: str) -> list[str]:
     intact, so '[title="a b"]' is one token."""
     toks: list[str] = []
     buf: list[str] = []
-    depth = 0
-    for ch in selector:
-        if ch == "[":
-            depth += 1
-        elif ch == "]":
-            depth = max(0, depth - 1)
-        if depth == 0 and ch.isspace():
+    for ch, outside in _scan_outside(selector):
+        if outside and ch.isspace():
             if buf:
                 toks.append("".join(buf))
                 buf = []
-        elif depth == 0 and ch == ">":
+        elif outside and ch == ">":
             if buf:
                 toks.append("".join(buf))
                 buf = []

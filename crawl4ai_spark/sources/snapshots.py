@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,12 +109,36 @@ class SnapshotTable:
             dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
         return self._commit(m, list(dirs) + [name], meta)
 
+    def _sweep_orphans(self, keep: set[str]) -> None:
+        """Garbage-collect crash debris (the Iceberg analog is
+        remove_orphan_files): ``.staging-*`` dirs from writers that died
+        mid-job, and ``data-*`` dirs from writers that died in the instant
+        between the publish rename and the manifest replace. Any such dir
+        that is neither referenced by a manifest snapshot (ANY snapshot —
+        time-travel readers keep old dirs live) nor in ``keep`` (the commit
+        in flight) is unreachable garbage under this table's serial-writer
+        contract (concurrent commits in the crawl loop always target
+        DIFFERENT tables), so it is deleted. Without the sweep an orphan
+        data-* dir would sit in stream()'s glob forever and deliver
+        uncommitted rows."""
+        referenced = set(keep)
+        for s in self._read_manifest()["snapshots"]:
+            referenced.update(s["dirs"])
+        for name in os.listdir(self.root):
+            if not (name.startswith(".staging-") or name.startswith("data-")):
+                continue
+            if name in referenced:
+                continue
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
     def _commit(self, manifest: dict, dirs: list[str], meta: dict | None) -> int:
         # publish staged dirs: rename .staging-<hex> -> data-<hex> (atomic
         # on POSIX) immediately before the manifest commit. The window in
         # which an uncommitted data-* dir can exist (and pollute stream()'s
         # glob on a crash) is now the instant between this rename and the
-        # manifest replace — not the whole Spark write job.
+        # manifest replace — and _sweep_orphans erases any debris a crash
+        # in that instant (or mid-write) left behind, on the next commit.
+        self._sweep_orphans(keep=set(dirs))
         published = []
         for d in dirs:
             if d.startswith(".staging-"):
@@ -158,7 +183,11 @@ class SnapshotTable:
         dropped dirs): any snapshot whose dir set is not a superset of its
         predecessor's raises. Uncommitted writes never match the glob —
         they live in ``.staging-*`` until the commit publishes them (see
-        ``_write_data``)."""
+        ``_write_data``) — and data-* debris from a writer that crashed
+        between its publish rename and its manifest commit is swept here
+        (and on every commit), so the stream delivers ONLY
+        manifest-committed dirs."""
+        self._sweep_orphans(keep=set())
         current = self.read(spark)
         if current is None:
             raise ValueError(f"cannot stream {self.root}: no committed snapshot")

@@ -426,6 +426,50 @@ def test_stream_never_sees_uncommitted_or_replaced_data(spark, tmp_path):
         r.stream(spark)
 
 
+def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
+    """The narrower crash window: a writer that dies BETWEEN the
+    .staging->data-* publish rename and the manifest replace leaves an
+    unreferenced data-* dir. Both the next commit and stream() must sweep
+    it (it is uncommitted garbage the glob would otherwise deliver
+    forever), along with orphan .staging-* dirs from mid-write crashes."""
+    import glob as _glob
+    import os
+
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(5).withColumnRenamed("id", "v")
+    t.append(df)
+
+    # simulate the rename-then-die crash: published data dir, no manifest
+    staged = t._write_data(spark.range(100, 103).withColumnRenamed("id", "v"))
+    orphan_data = "data-" + staged[len(".staging-"):]
+    os.replace(os.path.join(t.root, staged), os.path.join(t.root, orphan_data))
+    # and a mid-write crash: an orphan staging dir
+    orphan_staging = t._write_data(spark.range(7).withColumnRenamed("id", "v"))
+    assert os.path.exists(os.path.join(t.root, orphan_data))
+
+    # stream() sweeps both and its source sees only committed rows
+    t.stream(spark)  # creation runs the sweep
+    assert not os.path.exists(os.path.join(t.root, orphan_data))
+    assert not os.path.exists(os.path.join(t.root, orphan_staging))
+    assert spark.read.parquet(os.path.join(t.root, "data-*")).count() == 5
+
+    # same sweep on the next commit path
+    staged2 = t._write_data(spark.range(200, 202).withColumnRenamed("id", "v"))
+    os.replace(
+        os.path.join(t.root, staged2),
+        os.path.join(t.root, "data-" + staged2[len(".staging-"):]),
+    )
+    t.append(spark.range(10, 13).withColumnRenamed("id", "v"))
+    assert t.read(spark).count() == 8
+    # only the two committed dirs survive
+    assert len(_glob.glob(os.path.join(t.root, "data-*"))) == 2
+    assert not _glob.glob(os.path.join(t.root, ".staging-*"))
+    # time-travel dirs are NEVER swept: snapshot 1 still reads in full
+    assert t.read(spark, snapshot_id=1).count() == 5
+
+
 def test_bootstrap_fast_path_is_one_probe_job(spark, pages):
     """The config-sized seed bootstrap pays exactly ONE driver-thread Spark
     job: limit(max+1).collect() both decides the path and delivers the rows

@@ -167,3 +167,21 @@ def test_select_quoted_attribute_values():
     assert [n.text() for n in select(root, 'span[alt="x,y"]')] == ["1"]
     # commas OUTSIDE brackets still split branches
     assert [n.text() for n in select(root, 'p[title="a b"], p[title="ab"]')] == ["2", "3"]
+
+
+def test_select_bracket_inside_quoted_value():
+    """A '[' inside a quoted attribute value must not corrupt the bracket
+    depth of the tokenizer/branch-splitter (it used to count raw chars, so
+    [alt="a[b"] left the scanner thinking it was still inside brackets and
+    mis-split everything after)."""
+    from crawl4ai_spark.html.parser import parse_html
+    from crawl4ai_spark.html.css_select import select
+
+    root = parse_html(
+        '<img alt="a[b"><p>after</p><div alt="a[b"><span>in</span></div>'
+    )
+    assert [n.tag for n in select(root, 'img[alt="a[b"]')] == ["img"]
+    # the chars after the quoted '[' still tokenize: descendant combinator
+    assert [n.text() for n in select(root, 'div[alt="a[b"] span')] == ["in"]
+    # and branch-splitting after the quoted '[' still works
+    assert [n.tag for n in select(root, 'img[alt="a[b"], p')] == ["img", "p"]

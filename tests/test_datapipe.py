@@ -253,6 +253,36 @@ def test_connected_components_round_cap(spark):
     assert {r.component for r in full.collect()} == {0}
 
 
+def test_connected_components_auto_probes_before_fallback(spark, monkeypatch):
+    """'auto' must NOT pay the full max_rounds of doomed propagation on a
+    chain-shaped graph: the propagation probe is capped at
+    AUTO_PROBE_ROUNDS, then the star contraction takes over — and the
+    result is still the exact components."""
+    import crawl4ai_spark.datapipe.components as comp
+
+    seen_caps = []
+    orig = comp._connected_components_label
+
+    def spy(edges, src="id_a", dst="id_b", max_rounds=25):
+        seen_caps.append(max_rounds)
+        return orig(edges, src, dst, max_rounds)
+
+    monkeypatch.setattr(comp, "_connected_components_label", spy)
+    # a 40-node path: diameter 39 ≫ any sane propagation budget
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component
+           for r in comp.connected_components(edges, max_rounds=25).collect()}
+    assert got == {i: 0 for i in range(41)}
+    assert seen_caps == [comp.AUTO_PROBE_ROUNDS]
+    # algorithm='label' keeps the caller's full budget (no hidden clamp)
+    seen_caps.clear()
+    small = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    comp.connected_components(small, max_rounds=25, algorithm="label").collect()
+    assert seen_caps == [25]
+
+
 def test_connected_components_star_matches_label(spark):
     """Differential gate: the large-star/small-star contraction labels
     exactly as min-label propagation on a mixed graph (two merged
@@ -948,6 +978,24 @@ def test_unigram_lm_hand_computed(spark):
     # scoring join is broadcast — the corpus side must not shuffle for it
     plan = score_perplexity(df, vocab, oov)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_lm_proper_when_vocab_exceeds_distinct(spark):
+    """Smoothing denominator clamps to the EFFECTIVE vocabulary: corpus
+    'a a b' with vocab_size=10 has 2 distinct tokens, so the model is over
+    2+1 outcomes (denom 3+1·3=6) and probabilities sum to exactly 1 —
+    the unclamped vocab_size denominator (3+11=14) leaked mass to
+    never-seen outcomes."""
+    import math
+
+    from crawl4ai_spark.datapipe.lm import train_unigram_lm
+
+    df = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    vocab, oov, n = train_unigram_lm(df, vocab_size=10, alpha=1.0)
+    assert n == 3
+    probs = {r.token: math.exp(r.logp) for r in vocab.collect()}
+    assert abs(probs["a"] - 3 / 6) < 1e-12 and abs(probs["b"] - 2 / 6) < 1e-12
+    assert abs(sum(probs.values()) + math.exp(oov) - 1.0) < 1e-12
 
 
 def test_unigram_lm_vocab_tiebreak_deterministic(spark):
