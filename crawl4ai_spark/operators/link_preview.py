@@ -1,0 +1,423 @@
+"""Link preview — the reference's 3-score link system, Spark-first.
+
+Reference surface: ``link_preview.py:18-394`` (LinkPreview.extract_link_heads:
+filter links → head-fetch the targets → BM25-score head text against a query
+→ merge scores), ``models.py:343-353`` (Link.intrinsic_score /
+contextual_score / total_score), ``utils.py:3238-3283``
+(calculate_total_score), ``async_url_seeder.py:645-677`` (BM25 application +
+URL-relevance fallback), ``:1143-1194`` (_extract_text_context),
+``:1196-1290`` (_calculate_url_relevance_score), ``:1380-1410``
+(_calculate_bm25_score — rank_bm25.BM25Okapi + min-max normalization).
+
+Spark restatement: the reference head-fetches each link target over HTTP;
+here the "fetch" is the same offline corpus join the crawl loop uses (S4/J6)
+— link href ⋈ pages.url, head = everything before ``</head>`` (the S7
+64 KB head peek). Scoring is pure Catalyst:
+
+- per-source-page link batches are the BM25 corpora (the reference builds
+  one BM25Okapi per ``extract_link_heads`` call, i.e. per page), so every
+  aggregation below is keyed by ``src_url`` — embarrassingly partitionable,
+  group sizes bounded by ``max_links``;
+- BM25Okapi semantics from scratch (public rank_bm25 algorithm): raw
+  idf(t) = ln((N−n+0.5)/(n+0.5)); negative idfs are replaced by
+  ``epsilon · average_idf`` where average_idf averages the RAW idfs over
+  the group's whole vocabulary (quirk preserved: the average includes the
+  negative values, and can itself be negative); query terms missing from
+  the group vocabulary contribute idf 0; scores are min-max normalized
+  within the group (all-equal → 0.5);
+- the only corpus-sized operation is the href ⋈ pages fetch join — the
+  score pipeline afterwards touches (links × |query terms| + group vocab)
+  rows, never the page corpus.
+
+Documented parity gap: ``_extract_text_context``'s JSON-LD fields
+(``async_url_seeder.py:1173-1191``) are not extracted — the head context
+covers title + the full standard/og/twitter/dc meta keys. (Scoring JSON-LD
+would need JSON parsing of ``<script type="application/ld+json">`` blobs;
+no page in the test corpus carries one.)
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# rank_bm25.BM25Okapi defaults (the reference passes none)
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_EPSILON = 0.25
+
+# _extract_text_context meta keys, in the reference's append order
+# (async_url_seeder.py:1152-1171)
+_CONTEXT_META_KEYS = [
+    "description", "keywords", "author", "subject", "summary", "abstract",
+    "og:title", "og:description", "og:site_name", "article:tag",
+    "twitter:title", "twitter:description", "twitter:image:alt",
+    "dc.title", "dc.description", "dc.subject", "dc.creator",
+]
+
+
+def _fnmatch_col(url: Column, patterns: list[str]) -> Column:
+    """OR of plain ``fnmatch.fnmatch`` globs — link preview filters with
+    fnmatch directly (link_preview.py:139-155), NOT the categorized
+    URLPatternFilter semantics."""
+    cond = F.lit(False)
+    for p in patterns:
+        cond = cond | url.rlike(fnmatch.translate(p))
+    return cond
+
+
+def head_text_context_col(head: Column) -> Column:
+    """_extract_text_context (async_url_seeder.py:1143-1194) over a raw
+    head string: title, then each meta key in reference order; non-empty
+    parts joined with single spaces. Meta parsing mirrors HeadPeekr
+    (same regex surface as filters.content_relevance_score_col)."""
+    title = F.regexp_extract(head, "(?is)<title>(.*?)</title>", 1)
+    metas = F.filter(
+        F.regexp_extract_all(head, F.lit(r"<meta[^>]+>"), 0),
+        lambda t: t.rlike("content=[\"']")
+        & (t.rlike("name=[\"']") | t.rlike("property=[\"']")),
+    )
+    _name = lambda t: F.regexp_extract(t, "name=[\"'](.*?)[\"']", 1)  # noqa: E731
+    _prop = lambda t: F.regexp_extract(t, "property=[\"'](.*?)[\"']", 1)  # noqa: E731
+    _content = lambda t: F.regexp_extract(t, "content=[\"'](.*?)[\"']", 1)  # noqa: E731
+    _key = lambda t: F.when(_name(t) != "", _name(t)).otherwise(_prop(t))  # noqa: E731
+
+    def _meta_get(name: str) -> Column:
+        # one-arg lambda only: a two-param lambda would receive the array
+        # INDEX as its second argument (same trap filters.py documents)
+        def _match(t):
+            return _key(t) == name
+
+        hits = F.filter(metas, _match)
+        return F.when(
+            F.size(hits) > 0, _content(F.element_at(hits, -1))
+        ).otherwise(F.lit(""))
+
+    parts = [title] + [_meta_get(k) for k in _CONTEXT_META_KEYS]
+    return F.array_join(
+        F.filter(F.array(*parts), lambda p: p != ""), " "
+    )
+
+
+def _tokens(text: Column) -> Column:
+    """query.lower().split() / doc.lower().split() — plain whitespace."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def url_relevance_score(query: str, url: str) -> float:
+    """_calculate_url_relevance_score (async_url_seeder.py:1196-1290) —
+    the fallback contextual score for links that fetched 'valid' but
+    yielded no head text context: exact/substring matches over URL parts,
+    per-query-token coverage scores, character-trigram Jaccard, combined
+    by a 1/(rank+1)-weighted average of the scores sorted descending.
+    Pure Python (unit-tested transcription); applied per batch inside an
+    Arrow pandas UDF only to the context-less tail."""
+    from urllib.parse import urlparse
+
+    query_lower = query.lower()
+    parsed = urlparse(url)
+    domain = parsed.netloc.replace("www.", "")
+    path = parsed.path.strip("/")
+    domain_parts = domain.split(".")
+    path_parts = [p for p in path.split("/") if p]
+    param_parts: list[str] = []
+    if parsed.query:
+        for param in parsed.query.split("&"):
+            if "=" in param:
+                key, value = param.split("=", 1)
+                param_parts.extend([key, value])
+    all_parts = domain_parts + path_parts + param_parts
+
+    scores: list[float] = []
+    query_tokens = query_lower.split()
+    for part in all_parts:
+        part_lower = part.lower()
+        if query_lower in part_lower:
+            scores.append(1.0)
+        elif part_lower in query_lower:
+            scores.append(0.9)
+    for token in query_tokens:
+        token_scores = []
+        for part in all_parts:
+            part_lower = part.lower()
+            if token in part_lower:
+                token_scores.append(0.7 * len(token) / len(part_lower))
+            elif part_lower in token:
+                token_scores.append(0.6 * len(part_lower) / len(token))
+        if token_scores:
+            scores.append(max(token_scores))
+
+    def _ngrams(text: str, n: int = 3) -> set[str]:
+        return set(text[i : i + n] for i in range(len(text) - n + 1))
+
+    url_text = " ".join(all_parts).lower()
+    if len(query_lower) >= 3 and len(url_text) >= 3:
+        qn, un = _ngrams(query_lower), _ngrams(url_text)
+        if qn and un:
+            union = len(qn | un)
+            scores.append(0.5 * (len(qn & un) / union if union > 0 else 0))
+
+    if not scores:
+        return 0.0
+    scores.sort(reverse=True)
+    weighted = sum(s / (i + 1) for i, s in enumerate(scores))
+    total_weight = sum(1 / (i + 1) for i in range(len(scores)))
+    return min(weighted / total_weight if total_weight > 0 else 0.0, 1.0)
+
+
+def link_preview_scores(
+    links: DataFrame,
+    pages: DataFrame,
+    query: str | None = None,
+    include_internal: bool = True,
+    include_external: bool = False,
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+    max_links: int = 100,
+    score_links: bool = True,
+    score_threshold: float | None = None,
+) -> DataFrame:
+    """The full link-preview pass over exploded links.
+
+    ``links`` columns: ``src_url`` (the page the link was found on),
+    ``href``, ``link_text``, ``is_external``, ``intrinsic_score``, ``ord``
+    (discovery order within the page; hrefs are assumed already first-wins
+    deduped per page, which the scrape explode guarantees).
+    ``pages``: the offline corpus (``url``, ``html_str``) standing in for
+    HTTP head fetches.
+
+    Returns every input link row plus:
+
+    - ``head_status`` — 'valid' (target found in the corpus) / 'not_valid'
+      (filtered but unreachable) / NULL (link not selected by the filters
+      — the reference leaves such links untouched);
+    - ``contextual_score`` — BM25Okapi of the target's head text context
+      against ``query``, min-max normalized within the source page's
+      scored batch (async_url_seeder.py:1380-1410); NULL when unscored;
+    - ``total_score`` — calculate_total_score (utils.py:3238-3283):
+      5.0 when ``score_links`` is off, clamped intrinsic when no
+      contextual score exists, else 0.7·intrinsic + 0.3·min(ctx·10, 10),
+      clamped to [0, 10]; NULL for links the filters never selected.
+    """
+    base = links.select(
+        "src_url", "href", "link_text", "is_external", "intrinsic_score", "ord"
+    )
+
+    # -- _filter_links (link_preview.py:120-176): internal list first, then
+    # external (when included), fnmatch include/exclude, max_links cap in
+    # that order — realized as one selection flag + a per-page rank
+    selected = F.when(F.col("is_external"), F.lit(include_external)).otherwise(
+        F.lit(include_internal)
+    )
+    if include_patterns:
+        selected = selected & _fnmatch_col(F.col("href"), include_patterns)
+    if exclude_patterns:
+        selected = selected & ~_fnmatch_col(F.col("href"), exclude_patterns)
+    flagged = base.withColumn("_sel", selected)
+    if max_links > 0:
+        # the reference caps the concatenated internal-then-external list
+        # (link_preview.py:157-162); rank only the selected rows in that
+        # order — partitioning by (src_url, _sel) keeps unselected rows out
+        # of the rank without a second pass
+        flagged = flagged.withColumn(
+            "_rk",
+            F.when(F.col("_sel"), F.row_number().over(
+                Window.partitionBy("src_url", "_sel").orderBy(
+                    F.col("is_external").cast("int"), F.col("ord")
+                )
+            )),
+        ).withColumn(
+            "_sel", F.col("_sel") & (F.coalesce(F.col("_rk"), F.lit(0)) <= max_links)
+        ).drop("_rk")
+
+    # -- offline head fetch (S4/J6 join shape): selected hrefs ⋈ pages.url;
+    # head = the S7 peek (everything before </head>)
+    heads = pages.select(
+        F.col("url").alias("href"),
+        F.substring_index(F.col("html_str"), "</head>", 1).alias("_head"),
+    )
+    fetched = flagged.join(heads, "href", "left")
+    fetched = fetched.withColumn(
+        "head_status",
+        F.when(~F.col("_sel"), F.lit(None).cast("string"))
+        .when(F.col("_head").isNotNull(), F.lit("valid"))
+        .otherwise(F.lit("not_valid")),
+    ).withColumn(
+        "_ctx",
+        F.when(
+            F.col("_sel") & F.col("_head").isNotNull(),
+            head_text_context_col(F.col("_head")),
+        ),
+    )
+
+    if query:
+        scored = _bm25_group_scores(fetched, query)
+        # fallback (async_url_seeder.py:661-668): a link that fetched
+        # 'valid' but yielded no text context scores by URL relevance —
+        # NOT part of the BM25 min-max group
+        scored = scored.withColumn(
+            "contextual_score",
+            F.when(
+                F.col("_sel")
+                & (F.col("head_status") == "valid")
+                & (F.col("_ctx") == ""),
+                _url_relevance_udf(query)(F.col("href")),
+            ).otherwise(F.col("contextual_score")),
+        )
+        if score_threshold is not None:
+            # extract_head_for_urls drops below-threshold results entirely
+            # (missing scores count as 0) — dropped links merge back as
+            # UNTOUCHED, exactly like never-selected ones
+            # materialize the flag BEFORE touching _sel: `dropped` is lazy,
+            # so rewriting _sel first would re-resolve it against the
+            # already-falsified column and the nulling below would never fire
+            scored = scored.withColumn(
+                "_dropped",
+                F.col("_sel")
+                & (
+                    F.coalesce(F.col("contextual_score"), F.lit(0.0))
+                    < F.lit(score_threshold)
+                ),
+            )
+            scored = (
+                scored.withColumn("_sel", F.col("_sel") & ~F.col("_dropped"))
+                .withColumn(
+                    "head_status",
+                    F.when(F.col("_dropped"), F.lit(None).cast("string"))
+                    .otherwise(F.col("head_status")),
+                )
+                .withColumn(
+                    "contextual_score",
+                    F.when(F.col("_dropped"), F.lit(None).cast("double"))
+                    .otherwise(F.col("contextual_score")),
+                )
+                .drop("_dropped")
+            )
+    else:
+        scored = fetched.withColumn(
+            "contextual_score", F.lit(None).cast("double")
+        )
+
+    # -- calculate_total_score (utils.py:3238-3283), applied only to links
+    # the filters selected (the reference leaves the rest untouched)
+    intrinsic = F.coalesce(F.col("intrinsic_score"), F.lit(0.0))
+    ctx = F.col("contextual_score")
+    if not score_links:
+        total_for_selected = F.lit(5.0)
+    else:
+        blend = F.least(
+            F.greatest(
+                intrinsic * 0.7 + F.least(ctx * 10.0, F.lit(10.0)) * 0.3,
+                F.lit(0.0),
+            ),
+            F.lit(10.0),
+        )
+        clamped_intrinsic = F.least(F.greatest(intrinsic, F.lit(0.0)), F.lit(10.0))
+        total_for_selected = (
+            F.when(ctx.isNull() | F.lit(not bool(query)), clamped_intrinsic)
+            .otherwise(blend)
+        )
+    return scored.withColumn(
+        "total_score",
+        F.when(F.col("_sel"), total_for_selected),
+    ).drop("_sel", "_head", "_ctx")
+
+
+def _url_relevance_udf(query: str):
+    # annotations must be resolvable at decoration time (PEP 563 strings
+    # from `from __future__ import annotations` break pandas_udf inference
+    # when pd is only locally imported) — pd is module-level here
+    @F.pandas_udf("double")
+    def _udf(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: url_relevance_score(query, u or ""))
+
+    return _udf
+
+
+def _bm25_group_scores(fetched: DataFrame, query: str) -> DataFrame:
+    """contextual_score for every scored link: BM25Okapi per src_url group
+    over the head text contexts, min-max normalized. Pure Catalyst — the
+    vocabulary explode and the per-term joins touch only the selected-link
+    rows (≤ max_links per page), never the page corpus."""
+    docs = (
+        fetched.filter(
+            F.col("_sel") & (F.col("head_status") == "valid") & (F.col("_ctx") != "")
+        )
+        .select(
+            "src_url",
+            "href",
+            _tokens(F.col("_ctx")).alias("_toks"),
+        )
+        .withColumn("_dl", F.size("_toks").cast("double"))
+    )
+
+    # group stats: corpus size N and avgdl per source page
+    stats = docs.groupBy("src_url").agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+
+    # vocabulary: document frequency per (page, token) over distinct
+    # per-doc tokens; raw idf may be negative — keep it for the average
+    vocab = (
+        docs.select("src_url", "href", F.explode(F.array_distinct("_toks")).alias("_t"))
+        .groupBy("src_url", "_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .join(stats, "src_url")
+        .withColumn(
+            "_idf_raw",
+            F.log(
+                (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ),
+        )
+    )
+    # rank_bm25 quirk: average_idf is the mean of the RAW idfs (negatives
+    # included); negative idfs are then replaced by epsilon·average_idf
+    eps = vocab.groupBy("src_url").agg(
+        (F.avg("_idf_raw") * BM25_EPSILON).alias("_eps")
+    )
+    vocab = vocab.join(eps, "src_url").withColumn(
+        "_idf",
+        F.when(F.col("_idf_raw") < 0, F.col("_eps")).otherwise(F.col("_idf_raw")),
+    )
+
+    # per-doc score: query tokens NOT deduplicated (query.lower().split())
+    q_terms = [t for t in query.lower().split() if t]
+    per_term = docs.select(
+        "src_url", "href", "_dl", "_toks",
+        F.explode(F.array(*[F.lit(t) for t in q_terms])).alias("_t"),
+    ).withColumn(
+        "_tf",
+        F.size(F.filter(F.col("_toks"), lambda x: x == F.col("_t"))).cast("double"),
+    )
+    per_term = (
+        per_term.join(vocab.select("src_url", "_t", "_idf"), ["src_url", "_t"], "left")
+        .join(stats.select("src_url", "_avgdl"), "src_url")
+        .withColumn(
+            "_part",
+            F.coalesce(F.col("_idf"), F.lit(0.0))
+            * (F.col("_tf") * (BM25_K1 + 1.0))
+            / (
+                F.col("_tf")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    raw = per_term.groupBy("src_url", "href").agg(F.sum("_part").alias("_raw"))
+
+    # min-max normalization within the group; degenerate spread → 0.5
+    w = Window.partitionBy("src_url")
+    normed = raw.select(
+        "src_url", "href",
+        F.when(
+            F.max("_raw").over(w) == F.min("_raw").over(w), F.lit(0.5)
+        ).otherwise(
+            (F.col("_raw") - F.min("_raw").over(w))
+            / (F.max("_raw").over(w) - F.min("_raw").over(w))
+        ).alias("contextual_score"),
+    )
+    return fetched.join(normed, ["src_url", "href"], "left")
