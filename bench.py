@@ -233,6 +233,48 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         lambda: _count(minhash_pairs_from_tables(spark, "bench_mh", threshold=0.5)),
     )
 
+    # cleaning tier at 100k: the gopher quality+repetition screens, C4 line
+    # cleaning, PII redaction (all shuffle-free Catalyst over the doc), and
+    # the CCNet corpus line dedup (whose only shuffle is the line-key
+    # window) — measured on the same ~100k-doc corpus as the dedup entries
+    # so the "shuffle-free scales linearly" claim carries evidence, not
+    # just plan assertions.
+    from crawl4ai_spark.datapipe.linededup import dedup_lines_corpus
+    from crawl4ai_spark.datapipe.pii import pii_counts_col, redact_pii_col
+    from crawl4ai_spark.datapipe.webquality import (
+        c4_clean_col,
+        c4_page_gate_col,
+        gopher_gate_col,
+        gopher_metrics_frame,
+        gopher_repetition_frame,
+    )
+
+    def q_clean():
+        m = gopher_metrics_frame(big, "text", struct_col="m")
+        m = gopher_repetition_frame(m, "text")
+        c = m.withColumn("c", c4_clean_col("text"))
+        screened = c.select(
+            "doc_id",
+            gopher_gate_col(F.col("m")).alias("gopher_keep"),
+            "dup_line_frac",
+            c4_page_gate_col(F.col("c")).alias("c4_keep"),
+            F.md5("c.text_clean").alias("clean_md5"),
+            pii_counts_col("text").alias("pii"),
+            F.length(redact_pii_col("text")).alias("redacted_len"),
+        )
+        return screened.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("gopher_keep").cast("long")),
+            F.sum(F.col("c4_keep").cast("long")),
+            F.sum("redacted_len"),
+        ).collect()
+
+    timed("clean_corpus_100k", q_clean)
+    timed(
+        "line_dedup_corpus_100k",
+        lambda: _count(dedup_lines_corpus(big, "doc_id", "text")),
+    )
+
     timed(
         "ann_bruteforce",
         lambda: _count(
@@ -304,6 +346,25 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             )
         ),
     )
+    # IVF recall evidence (untimed — a quality number, not throughput):
+    # the nprobe < n_cells accuracy trade measured against the exact
+    # brute-force top-5 over the same 128k corpus. nprobe=32 (= n_cells)
+    # is provably recall 1.0 (every cell probed), so the interesting
+    # points are the pruned ones the probe timing above actually uses.
+    bf_top = ann_bruteforce_topk(big_embs, equeries, k=5).select(
+        "query_id", "vec_id"
+    ).cache()
+    n_bf = bf_top.count()
+    ivf_recalls = {}
+    for nprobe in (4, 8):
+        ivf_top = ann_ivf_topk(
+            ivf_table, equeries, nprobe=nprobe, k=5,
+            centroids=ivf_cents, cell_col="ivf_cell",
+        ).select("query_id", "vec_id")
+        hits = bf_top.join(ivf_top, ["query_id", "vec_id"]).count()
+        ivf_recalls[f"nprobe{nprobe}"] = round(hits / n_bf, 3)
+    bf_top.unpersist()
+
     timed(
         "text_stats",
         lambda: _count(
@@ -330,6 +391,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "pages_per_sec_warm": round(n_pages / timings["extract_all_warm"], 1),
         "crawl_pages_visited": crawl_pages,
         "crawl_pages_per_sec": round(crawl_pages / timings["crawl_bfs_3iter"], 1),
+        "ivf_recall_at5": ivf_recalls,
         "cpus": cpus,
     }
     spark.stop()
