@@ -351,19 +351,39 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # brute-force top-5 over the same 128k corpus. nprobe=32 (= n_cells)
     # is provably recall 1.0 (every cell probed), so the interesting
     # points are the pruned ones the probe timing above actually uses.
-    bf_top = ann_bruteforce_topk(big_embs, equeries, k=5).select(
-        "query_id", "vec_id"
-    ).cache()
-    n_bf = bf_top.count()
+    # Two query sets: the corpus queries (whose true top-5 are their own
+    # perturbed replicas — geometrically concentrated in one cell, so high
+    # recall is expected) and HARD mixed queries (pairwise averages of
+    # distant corpus vectors, which sit between cells — the case where
+    # nprobe actually trades recall for pruning).
+    hard_queries = (
+        embs.filter(F.col("vec_id") < 8)
+        .alias("a")
+        .join(
+            embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).alias("b"),
+            F.col("a.vec_id") + 100 == F.col("b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.zip_with("a.embedding", "b.embedding", lambda x, y: (x + y) / 2.0).alias(
+                "embedding"
+            ),
+        )
+    )
     ivf_recalls = {}
-    for nprobe in (4, 8):
-        ivf_top = ann_ivf_topk(
-            ivf_table, equeries, nprobe=nprobe, k=5,
-            centroids=ivf_cents, cell_col="ivf_cell",
-        ).select("query_id", "vec_id")
-        hits = bf_top.join(ivf_top, ["query_id", "vec_id"]).count()
-        ivf_recalls[f"nprobe{nprobe}"] = round(hits / n_bf, 3)
-    bf_top.unpersist()
+    for tag, qset in (("corpus", equeries), ("mixed", hard_queries)):
+        bf_top = ann_bruteforce_topk(big_embs, qset, k=5).select(
+            "query_id", "vec_id"
+        ).cache()
+        n_bf = bf_top.count()
+        for nprobe in (4, 8):
+            ivf_top = ann_ivf_topk(
+                ivf_table, qset, nprobe=nprobe, k=5,
+                centroids=ivf_cents, cell_col="ivf_cell",
+            ).select("query_id", "vec_id")
+            hits = bf_top.join(ivf_top, ["query_id", "vec_id"]).count()
+            ivf_recalls[f"{tag}_nprobe{nprobe}"] = round(hits / n_bf, 3)
+        bf_top.unpersist()
 
     timed(
         "text_stats",
