@@ -71,6 +71,12 @@ def train_unigram_lm(
         df.agg(F.sum(F.size(tokens_col(text_col)))).first()[0] or 0
     )
     topk = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(vocab_size)
+    if not materialize:
+        # the collect below must not make a later consumer of the returned
+        # LAZY vocab re-run the token shuffle — persist the ≤vocab_size-row
+        # result so both read one evaluation (explain still surfaces the
+        # distributed plan inside the InMemoryRelation for plan tests)
+        topk = topk.cache()
     # ONE evaluation of the token shuffle (same as before — the vocabulary
     # was always collected); it now also yields V_eff for the denominator
     rows = topk.collect()

@@ -44,8 +44,8 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # literal string with \-escapes kept opaque until unescaping
 _STR = rb"\(((?:[^()\\]|\\.)*)\)"
-_TJ_RE = re.compile(_STR + rb"\s*Tj")
-_TJARR_RE = re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ")
+# text-showing operators in one scan: group 1 = Tj string, group 2 = TJ array
+_SHOW_RE = re.compile(_STR + rb"\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ")
 _URI_RE = re.compile(rb"/URI\s*" + _STR)
 _META_KEYS = ("Title", "Author", "Subject", "Producer")
 
@@ -60,7 +60,7 @@ def _block_text(block: bytes) -> str:
     TJ array strings concatenated in place of their Tj-level slot."""
     parts: list[str] = []
     # walk Tj and TJ operators in order of appearance
-    for m in re.finditer(_STR + rb"\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ", block):
+    for m in _SHOW_RE.finditer(block):
         if m.group(1) is not None:
             parts.append(_unescape(m.group(1)))
         else:
@@ -119,10 +119,7 @@ def extract_pdf_pages(
             }
             for i, data in zip(pdf_batch[id_col], pdf_batch["_blob"]):
                 data = bytes(data) if data is not None else b""
-                try:
-                    pages = _pypdf_pages(data)
-                except NotImplementedError:
-                    pages = parse_pdf_pages(data)
+                pages = _parse_any(data)
                 for p in pages:
                     out[id_col].append(i)
                     out["page_number"].append(p["page_number"])
@@ -141,6 +138,24 @@ def extract_pdf_pages(
             })
 
     return cols.mapInPandas(extract, schema)
+
+
+def _parse_any(data: bytes) -> list[dict]:
+    """Decode with pypdf when available, fall back to the naive parser for
+    NON-PDF blobs (no magic — pypdf would raise, not skip), for the
+    pypdf-absent container, and for documents the real decoder rejects
+    (malformed xref/trailer — the naive parser still salvages uncompressed
+    text streams, which is strictly more than crashing the whole job)."""
+    if not data.startswith(PDF_MAGIC):
+        return []
+    try:
+        return _pypdf_pages(data)
+    except NotImplementedError:
+        return parse_pdf_pages(data)
+    except Exception:
+        # pypdf parse failure (PdfReadError etc.) — degrade, don't kill
+        # the mapInPandas task and with it the entire query
+        return parse_pdf_pages(data)
 
 
 def _pypdf_pages(data: bytes) -> list[dict]:
@@ -176,45 +191,47 @@ def pdf_doc_summary(
     df: DataFrame, blob_col: str = "blob", id_col: str = "url"
 ) -> DataFrame:
     """One row per document: page count, ordered per-page text digests,
-    total link count, and the Info-dict title — the per-page explosion
-    re-aggregated so composite joins stay 1:1 on the id."""
-    pages = extract_pdf_pages(df, blob_col, id_col)
-    agg = (
-        pages.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_pages"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("page_number", F.md5(F.col("text")).alias("d")))
-                    ),
-                    lambda s: s["d"],
-                ),
-                "|",
-            ).alias("page_digests"),
-            F.sum("n_links").alias("total_links"),
-        )
+    total link count, and the Info-dict title — 1:1 on the id for
+    composite joins, with non-PDF blobs kept visible as zero rows.
+
+    ONE mapInPandas pass: pages and metadata come from the same blob
+    parse, and the digest aggregation happens in-batch (hashlib.md5 over
+    UTF-8 ≡ both engines' md5) — blobs are the widest column on the
+    multimodal path, so a second Arrow scan + a shuffle join purely to
+    recombine metadata would double the dominant cost."""
+    import hashlib
+
+    schema = (
+        f"{id_col} string, is_pdf boolean, n_pages bigint, "
+        "page_digests string, total_links bigint, pdf_title string"
     )
-    meta_schema = f"{id_col} string, pdf_title string, is_pdf boolean"
     cols = df.select(F.col(id_col).cast("string"), F.col(blob_col).alias("_blob"))
 
-    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, titles, flags = [], [], []
+            out: dict[str, list] = {
+                id_col: [], "is_pdf": [], "n_pages": [], "page_digests": [],
+                "total_links": [], "pdf_title": [],
+            }
             for i, data in zip(b[id_col], b["_blob"]):
                 data = bytes(data) if data is not None else b""
-                ids.append(i)
-                titles.append(parse_pdf_metadata(data)["title"])
-                flags.append(data.startswith(PDF_MAGIC))
-            yield pd.DataFrame({id_col: ids, "pdf_title": titles, "is_pdf": flags})
+                pages = _parse_any(data)
+                out[id_col].append(i)
+                out["is_pdf"].append(data.startswith(PDF_MAGIC))
+                out["n_pages"].append(len(pages))
+                out["page_digests"].append("|".join(
+                    hashlib.md5(p["text"].encode("utf-8")).hexdigest()
+                    for p in pages
+                ))
+                out["total_links"].append(sum(len(p["links"]) for p in pages))
+                out["pdf_title"].append(parse_pdf_metadata(data)["title"])
+            yield pd.DataFrame({
+                id_col: pd.Series(out[id_col], dtype=object),
+                "is_pdf": pd.Series(out["is_pdf"], dtype=bool),
+                "n_pages": pd.Series(out["n_pages"], dtype="int64"),
+                "page_digests": pd.Series(out["page_digests"], dtype=object),
+                "total_links": pd.Series(out["total_links"], dtype="int64"),
+                "pdf_title": pd.Series(out["pdf_title"], dtype=object),
+            })
 
-    metas = cols.mapInPandas(meta, meta_schema)
-    # left join keeps not-a-pdf rows (0 pages) visible with is_pdf=false
-    return metas.join(agg, id_col, "left").select(
-        id_col,
-        "is_pdf",
-        F.coalesce("n_pages", F.lit(0)).cast("long").alias("n_pages"),
-        F.coalesce("page_digests", F.lit("")).alias("page_digests"),
-        F.coalesce("total_links", F.lit(0)).cast("long").alias("total_links"),
-        "pdf_title",
-    )
+    return cols.mapInPandas(summarize, schema)

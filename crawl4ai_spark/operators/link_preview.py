@@ -62,10 +62,13 @@ _CONTEXT_META_KEYS = [
 def _fnmatch_col(url: Column, patterns: list[str]) -> Column:
     """OR of plain ``fnmatch.fnmatch`` globs — link preview filters with
     fnmatch directly (link_preview.py:139-155), NOT the categorized
-    URLPatternFilter semantics."""
+    URLPatternFilter semantics. ``fnmatch.translate`` end-anchors with
+    ``\\Z`` but start-anchoring comes from Python applying it via
+    ``re.match``; ``rlike`` is find-based, so the ``^`` must be explicit or
+    a pattern like ``'docs*'`` would match mid-URL."""
     cond = F.lit(False)
     for p in patterns:
-        cond = cond | url.rlike(fnmatch.translate(p))
+        cond = cond | url.rlike("^" + fnmatch.translate(p))
     return cond
 
 

@@ -33,7 +33,7 @@ reference's unseeded ``random.shuffle`` is not).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,9 +68,8 @@ class EmbeddingAdaptiveConfig:
     validation_min_score: float = VALIDATION_MIN_SCORE
     crawl: CrawlConfig | None = None
     # reference: n_validation = max(2, 20% of variations), original query
-    # always trains (:718-727)
+    # always trains (:718-727); 0 = no held-out split
     n_validation: int | None = None
-    metrics_history: list = field(default_factory=list, repr=False)
 
 
 class EmbeddingAdaptiveCrawl:
@@ -92,7 +91,11 @@ class EmbeddingAdaptiveCrawl:
         self.config = config or EmbeddingAdaptiveConfig()
         cfg = self.config
 
-        n_val = cfg.n_validation or max(2, int(len(query_variations) * 0.2))
+        n_val = (
+            cfg.n_validation
+            if cfg.n_validation is not None  # explicit 0 = no held-out split
+            else max(2, int(len(query_variations) * 0.2))
+        )
         n_val = min(n_val, len(query_variations))
         self.train_queries = [query] + list(query_variations[: len(query_variations) - n_val])
         self.val_queries = list(query_variations[len(query_variations) - n_val:])

@@ -109,7 +109,7 @@ class SnapshotTable:
             dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
         return self._commit(m, list(dirs) + [name], meta)
 
-    def _sweep_orphans(self, keep: set[str]) -> None:
+    def _sweep_orphans(self, keep: set[str], min_age_s: float = 300.0) -> None:
         """Garbage-collect crash debris (the Iceberg analog is
         remove_orphan_files): ``.staging-*`` dirs from writers that died
         mid-job, and ``data-*`` dirs from writers that died in the instant
@@ -120,15 +120,31 @@ class SnapshotTable:
         contract (concurrent commits in the crawl loop always target
         DIFFERENT tables), so it is deleted. Without the sweep an orphan
         data-* dir would sit in stream()'s glob forever and deliver
-        uncommitted rows."""
+        uncommitted rows.
+
+        ``min_age_s``: only dirs untouched for this long are swept — the
+        same age cutoff Iceberg's remove_orphan_files applies, and for the
+        same reason: the sweep also runs on the READ path (stream()), where
+        the serial-writer contract says nothing about a concurrent writer
+        on this table whose staging dir exists but whose manifest commit
+        hasn't landed yet. An in-flight commit is seconds old; crash debris
+        a stream would mis-deliver is, by the time anyone tails it, not."""
+        import time as _time
+
         referenced = set(keep)
         for s in self._read_manifest()["snapshots"]:
             referenced.update(s["dirs"])
+        cutoff = _time.time() - min_age_s
         for name in os.listdir(self.root):
             if not (name.startswith(".staging-") or name.startswith("data-")):
                 continue
             if name in referenced:
                 continue
+            try:
+                if os.path.getmtime(os.path.join(self.root, name)) > cutoff:
+                    continue
+            except OSError:
+                continue  # vanished concurrently — nothing to sweep
             shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     def _commit(self, manifest: dict, dirs: list[str], meta: dict | None) -> int:

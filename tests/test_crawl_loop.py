@@ -437,6 +437,13 @@ def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
 
     from crawl4ai_spark.sources.snapshots import SnapshotTable
 
+    def _backdate(name):
+        # the sweep only touches dirs older than its age cutoff (the
+        # Iceberg remove_orphan_files convention — a FRESH unreferenced dir
+        # may be a concurrent writer's in-flight commit, see below)
+        p = os.path.join(t.root, name)
+        os.utime(p, (0, 0))
+
     t = SnapshotTable(str(tmp_path / "tbl"))
     df = spark.range(5).withColumnRenamed("id", "v")
     t.append(df)
@@ -445,15 +452,25 @@ def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
     staged = t._write_data(spark.range(100, 103).withColumnRenamed("id", "v"))
     orphan_data = "data-" + staged[len(".staging-"):]
     os.replace(os.path.join(t.root, staged), os.path.join(t.root, orphan_data))
+    _backdate(orphan_data)
     # and a mid-write crash: an orphan staging dir
     orphan_staging = t._write_data(spark.range(7).withColumnRenamed("id", "v"))
+    _backdate(orphan_staging)
+    # plus a YOUNG unreferenced staging dir standing in for a concurrent
+    # writer mid-commit — the age cutoff must protect it on the read path
+    inflight = t._write_data(spark.range(300, 302).withColumnRenamed("id", "v"))
     assert os.path.exists(os.path.join(t.root, orphan_data))
 
-    # stream() sweeps both and its source sees only committed rows
+    # stream() sweeps aged debris, spares the in-flight dir, and its
+    # source sees only committed rows
     t.stream(spark)  # creation runs the sweep
     assert not os.path.exists(os.path.join(t.root, orphan_data))
     assert not os.path.exists(os.path.join(t.root, orphan_staging))
+    assert os.path.exists(os.path.join(t.root, inflight))
     assert spark.read.parquet(os.path.join(t.root, "data-*")).count() == 5
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(t.root, inflight))
 
     # same sweep on the next commit path
     staged2 = t._write_data(spark.range(200, 202).withColumnRenamed("id", "v"))
@@ -461,6 +478,7 @@ def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
         os.path.join(t.root, staged2),
         os.path.join(t.root, "data-" + staged2[len(".staging-"):]),
     )
+    _backdate("data-" + staged2[len(".staging-"):])
     t.append(spark.range(10, 13).withColumnRenamed("id", "v"))
     assert t.read(spark).count() == 8
     # only the two committed dirs survive

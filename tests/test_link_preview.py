@@ -92,6 +92,26 @@ class TestFilters:
         assert out["https://a.test/p2"]["head_status"] is None  # excluded
         assert out["https://a.test/missing"]["head_status"] is None  # not included
 
+    def test_fnmatch_is_start_anchored(self, spark):
+        """fnmatch.fnmatch anchors at position 0 (re.match); a pattern
+        without a leading '*' must NOT match mid-URL the way a bare
+        rlike would."""
+        out = _by_href(
+            link_preview_scores(
+                _links(spark), _pages(spark),
+                include_patterns=["p1*"],  # fnmatch: matches NO full URL
+            )
+        )
+        assert all(r["head_status"] is None for r in out.values())
+        out2 = _by_href(
+            link_preview_scores(
+                _links(spark), _pages(spark),
+                include_patterns=["https://a.test/p1"],
+            )
+        )
+        assert out2["https://a.test/p1"]["head_status"] == "valid"
+        assert out2["https://a.test/p2"]["head_status"] is None
+
     def test_max_links_caps_internal_before_external(self, spark):
         # reference concatenates internal-then-external before the cap
         # (link_preview.py:126-162): cap=2 keeps the two internal links even
