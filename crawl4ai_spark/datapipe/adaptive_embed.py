@@ -59,8 +59,9 @@ def hash_embedding_col(text: Column | str, dim: int = 16, max_chars: int = 5000)
     """Deterministic bag-of-words random-projection embedding — the
     documented stand-in for the reference's ``get_text_embeddings`` (an
     OpenAI call; no model/network in this environment). Each token
-    contributes a pseudo-random ±1-ish value per dimension seeded by
-    ``xxhash64(token, dim_index)``; the sum is L2-normalized. Similar texts
+    contributes a pseudo-random value in [−2, 2] per dimension (Spark's
+    ``%`` keeps the dividend's sign) seeded by ``xxhash64(token,
+    dim_index)``; the sum is L2-normalized. Similar texts
     share tokens and therefore directions, so coverage/convergence dynamics
     are realistic. Pure Catalyst — no UDF.
 
