@@ -12,22 +12,25 @@ URL-relevance fallback), ``:1143-1194`` (_extract_text_context),
 Spark restatement: the reference head-fetches each link target over HTTP;
 here the "fetch" is the same offline corpus join the crawl loop uses (S4/J6)
 — link href ⋈ pages.url, head = everything before ``</head>`` (the S7
-64 KB head peek). Scoring is pure Catalyst:
+64 KB head peek). Filtering, the max_links cap, head-context extraction and
+the total-score blend are Catalyst; the BM25 stage is ONE ``applyInPandas``
+keyed by ``src_url``:
 
 - per-source-page link batches are the BM25 corpora (the reference builds
-  one BM25Okapi per ``extract_link_heads`` call, i.e. per page), so every
-  aggregation below is keyed by ``src_url`` — embarrassingly partitionable,
-  group sizes bounded by ``max_links``;
+  one BM25Okapi per ``extract_link_heads`` call, i.e. per page) — an
+  inherently group-collective computation (corpus idf + min-max), so the
+  idiomatic shape is a group kernel: the narrow post-fetch link rows
+  exchange once on src_url (the head blob is shed first), each ≤max_links
+  group scores in Python, and the page corpus is scanned exactly once
+  (plan-asserted). A Catalyst join-web restatement of the same math
+  re-executed the corpus-sized fetch join once per branch — seven scans;
 - BM25Okapi semantics from scratch (public rank_bm25 algorithm): raw
   idf(t) = ln((N−n+0.5)/(n+0.5)); negative idfs are replaced by
   ``epsilon · average_idf`` where average_idf averages the RAW idfs over
   the group's whole vocabulary (quirk preserved: the average includes the
   negative values, and can itself be negative); query terms missing from
   the group vocabulary contribute idf 0; scores are min-max normalized
-  within the group (all-equal → 0.5);
-- the only corpus-sized operation is the href ⋈ pages fetch join — the
-  score pipeline afterwards touches (links × |query terms| + group vocab)
-  rows, never the page corpus.
+  within the group (all-equal → 0.5).
 
 Documented parity gap: ``_extract_text_context``'s JSON-LD fields
 (``async_url_seeder.py:1173-1191``) are not extracted — the head context
@@ -103,11 +106,6 @@ def head_text_context_col(head: Column) -> Column:
     return F.array_join(
         F.filter(F.array(*parts), lambda p: p != ""), " "
     )
-
-
-def _tokens(text: Column) -> Column:
-    """query.lower().split() / doc.lower().split() — plain whitespace."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
 def url_relevance_score(query: str, url: str) -> float:
@@ -258,18 +256,6 @@ def link_preview_scores(
 
     if query:
         scored = _bm25_group_scores(fetched, query)
-        # fallback (async_url_seeder.py:661-668): a link that fetched
-        # 'valid' but yielded no text context scores by URL relevance —
-        # NOT part of the BM25 min-max group
-        scored = scored.withColumn(
-            "contextual_score",
-            F.when(
-                F.col("_sel")
-                & (F.col("head_status") == "valid")
-                & (F.col("_ctx") == ""),
-                _url_relevance_udf(query)(F.col("href")),
-            ).otherwise(F.col("contextual_score")),
-        )
         if score_threshold is not None:
             # extract_head_for_urls drops below-threshold results entirely
             # (missing scores count as 0) — dropped links merge back as
@@ -326,101 +312,98 @@ def link_preview_scores(
     return scored.withColumn(
         "total_score",
         F.when(F.col("_sel"), total_for_selected),
-    ).drop("_sel", "_head", "_ctx")
+    ).drop("_sel", "_head", "_ctx")  # drop() ignores the columns the
+    # query branch already consumed inside the group kernel
 
 
-def _url_relevance_udf(query: str):
-    # annotations must be resolvable at decoration time (PEP 563 strings
-    # from `from __future__ import annotations` break pandas_udf inference
-    # when pd is only locally imported) — pd is module-level here
-    @F.pandas_udf("double")
-    def _udf(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: url_relevance_score(query, u or ""))
+def _bm25_corpus_scores(query_terms: list[str], corpus: list[list[str]]) -> list[float]:
+    """rank_bm25.BM25Okapi, transcribed (public algorithm; defaults k1=1.5
+    b=0.75 epsilon=0.25): raw idf(t) = ln((N−n+0.5)/(n+0.5)); negatives
+    replaced by epsilon · average of the RAW idfs over the whole corpus
+    vocabulary (quirk: the average includes the negatives); query terms
+    NOT deduplicated; terms missing from the vocabulary contribute 0."""
+    import math
 
-    return _udf
+    n_docs = len(corpus)
+    dls = [float(len(t)) for t in corpus]
+    avgdl = sum(dls) / n_docs
+    df: dict[str, int] = {}
+    for toks in corpus:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    idf_raw = {t: math.log((n_docs - n + 0.5) / (n + 0.5)) for t, n in df.items()}
+    eps = BM25_EPSILON * (sum(idf_raw.values()) / len(idf_raw)) if idf_raw else 0.0
+    idf = {t: (eps if v < 0 else v) for t, v in idf_raw.items()}
+    scores = []
+    for toks, dl in zip(corpus, dls):
+        s = 0.0
+        for qt in query_terms:
+            tf = float(toks.count(qt))
+            s += idf.get(qt, 0.0) * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        scores.append(s)
+    return scores
 
 
 def _bm25_group_scores(fetched: DataFrame, query: str) -> DataFrame:
-    """contextual_score for every scored link: BM25Okapi per src_url group
-    over the head text contexts, min-max normalized. Pure Catalyst — the
-    vocabulary explode and the per-term joins touch only the selected-link
-    rows (≤ max_links per page), never the page corpus."""
-    docs = (
-        fetched.filter(
-            F.col("_sel") & (F.col("head_status") == "valid") & (F.col("_ctx") != "")
-        )
-        .select(
-            "src_url",
-            "href",
-            _tokens(F.col("_ctx")).alias("_toks"),
-        )
-        .withColumn("_dl", F.size("_toks").cast("double"))
-    )
+    """contextual_score for every link: ONE ``applyInPandas`` keyed by
+    ``src_url``. The reference builds one BM25Okapi per page's link batch —
+    an inherently group-collective computation (corpus-wide idf + min-max
+    normalization), so the idiomatic Spark shape is a single group kernel:
+    the head-fetch join's output (pages already shed — only the narrow
+    link rows ship) exchanges once on src_url, each ≤max_links group
+    scores in vectorized Python, done.
 
-    # group stats: corpus size N and avgdl per source page
-    stats = docs.groupBy("src_url").agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.avg("_dl").alias("_avgdl"),
-    )
+    The previous shape expressed the same math as a Catalyst join web
+    (stats ⋈ vocab ⋈ eps ⋈ per-term ⋈ min-max-window ⋈ back onto the
+    fetch join); correct, but Catalyst does not de-duplicate common
+    subplans across join branches, so the href ⋈ pages fetch join — the
+    one corpus-sized operation — re-executed SEVEN times, once per branch.
+    One group kernel = one pages scan (plan-asserted in
+    tests/test_plan_quality.py).
 
-    # vocabulary: document frequency per (page, token) over distinct
-    # per-doc tokens; raw idf may be negative — keep it for the average
-    vocab = (
-        docs.select("src_url", "href", F.explode(F.array_distinct("_toks")).alias("_t"))
-        .groupBy("src_url", "_t")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .join(stats, "src_url")
-        .withColumn(
-            "_idf_raw",
-            F.log(
-                (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-            ),
-        )
-    )
-    # rank_bm25 quirk: average_idf is the mean of the RAW idfs (negatives
-    # included); negative idfs are then replaced by epsilon·average_idf
-    eps = vocab.groupBy("src_url").agg(
-        (F.avg("_idf_raw") * BM25_EPSILON).alias("_eps")
-    )
-    vocab = vocab.join(eps, "src_url").withColumn(
-        "_idf",
-        F.when(F.col("_idf_raw") < 0, F.col("_eps")).otherwise(F.col("_idf_raw")),
-    )
-
-    # per-doc score: query tokens NOT deduplicated (query.lower().split())
+    The URL-relevance fallback for valid-but-context-less targets
+    (async_url_seeder.py:661-668) rides the same kernel — it is pure
+    Python anyway, and it stays OUTSIDE the min-max group, exactly like
+    the reference."""
     q_terms = [t for t in query.lower().split() if t]
-    per_term = docs.select(
-        "src_url", "href", "_dl", "_toks",
-        F.explode(F.array(*[F.lit(t) for t in q_terms])).alias("_t"),
-    ).withColumn(
-        "_tf",
-        F.size(F.filter(F.col("_toks"), lambda x: x == F.col("_t"))).cast("double"),
-    )
-    per_term = (
-        per_term.join(vocab.select("src_url", "_t", "_idf"), ["src_url", "_t"], "left")
-        .join(stats.select("src_url", "_avgdl"), "src_url")
-        .withColumn(
-            "_part",
-            F.coalesce(F.col("_idf"), F.lit(0.0))
-            * (F.col("_tf") * (BM25_K1 + 1.0))
-            / (
-                F.col("_tf")
-                + BM25_K1
-                * (1.0 - BM25_B + BM25_B * F.col("_dl") / F.col("_avgdl"))
-            ),
-        )
-    )
-    raw = per_term.groupBy("src_url", "href").agg(F.sum("_part").alias("_raw"))
+    slim = fetched.drop("_head")  # the 64KB head peek must not ride the shuffle
+    out_fields = [f for f in slim.schema.fields if f.name != "_ctx"]
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", contextual_score double"
+    out_cols = [f.name for f in out_fields]
 
-    # min-max normalization within the group; degenerate spread → 0.5
-    w = Window.partitionBy("src_url")
-    normed = raw.select(
-        "src_url", "href",
-        F.when(
-            F.max("_raw").over(w) == F.min("_raw").over(w), F.lit(0.5)
-        ).otherwise(
-            (F.col("_raw") - F.min("_raw").over(w))
-            / (F.max("_raw").over(w) - F.min("_raw").over(w))
-        ).alias("contextual_score"),
-    )
-    return fetched.join(normed, ["src_url", "href"], "left")
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        scorable = (
+            pdf["_sel"].fillna(False)
+            & (pdf["head_status"] == "valid")
+            & pdf["_ctx"].notna()
+            & (pdf["_ctx"] != "")
+        )
+        ctx_scores = pd.Series([None] * len(pdf), dtype=object, index=pdf.index)
+        idx = pdf.index[scorable]
+        if len(idx) > 0:
+            corpus = [
+                [t for t in str(c).lower().split() if t]
+                for c in pdf.loc[idx, "_ctx"]
+            ]
+            raw = _bm25_corpus_scores(q_terms, corpus)
+            lo, hi = min(raw), max(raw)
+            normed = [0.5 if hi == lo else (r - lo) / (hi - lo) for r in raw]
+            ctx_scores.loc[idx] = normed
+        # fallback: 'valid' target whose head yielded no text context
+        fb = (
+            pdf["_sel"].fillna(False)
+            & (pdf["head_status"] == "valid")
+            & pdf["_ctx"].notna()
+            & (pdf["_ctx"] == "")
+        )
+        for i in pdf.index[fb]:
+            ctx_scores.loc[i] = url_relevance_score(query, pdf.loc[i, "href"] or "")
+        out = pdf[out_cols].copy()
+        out["contextual_score"] = ctx_scores.astype("float64")
+        return out
+
+    return slim.groupBy("src_url").applyInPandas(score_group, schema_ddl)

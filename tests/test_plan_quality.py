@@ -282,3 +282,50 @@ def test_lm_train_is_partial_agg_plus_distributed_topk(spark, sf_dir):
     # contributes a local top-K), never a single-task global sort
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan
+
+
+def test_embedding_confidence_broadcasts_queries_not_corpus(spark, sf_dir):
+    """best_similarity_per_query (datapipe/adaptive_embed.py) is the
+    embedding strategy's per-step kernel: the tiny query side must ride a
+    broadcast nested-loop over ONE corpus scan — an exchange on the KB side
+    would shuffle the whole knowledge base every adaptive step."""
+    from crawl4ai_spark.datapipe.adaptive_embed import best_similarity_per_query
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kb = e.filter(F.col("vec_id") >= 24).select("embedding")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(best_similarity_per_query(kb, q))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchange is the Q-row aggregation on query_id — the corpus
+    # side reaches the join straight from its scan
+    corpus_side = plan.split("BroadcastNestedLoopJoin")[1]
+    scan_count = plan.count("Scan parquet")
+    assert scan_count == 2  # one kb scan + one (broadcast) query scan
+    # partial agg before the exchange: map-side max per query
+    assert "partial_max" in plan
+
+
+def test_link_preview_scores_single_pages_scan(spark):
+    """The link-preview pass head-fetches via ONE scan of the pages
+    corpus; the BM25 scoring pipeline afterwards must only touch the
+    (bounded) selected-link rows, never re-scan pages."""
+    from crawl4ai_spark.operators.link_preview import link_preview_scores
+
+    links = spark.createDataFrame(
+        [("https://a.test/", "https://a.test/p1", "one", False, 3.0, 0)],
+        "src_url string, href string, link_text string, is_external boolean,"
+        " intrinsic_score double, ord int",
+    )
+    pages_dir = None
+    import tempfile
+
+    pages_dir = tempfile.mkdtemp(prefix="lp_pages_")
+    spark.createDataFrame(
+        [("https://a.test/p1", "<html><head><title>T</title></head></html>")],
+        "url string, html_str string",
+    ).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    plan = _plan(link_preview_scores(links, pages, query="spark"))
+    assert plan.count("Scan parquet") == 1
