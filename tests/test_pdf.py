@@ -79,3 +79,45 @@ class TestSparkPlumbing:
             "url": "u2", "is_pdf": False, "n_pages": 0,
             "page_digests": "", "total_links": 0, "pdf_title": "",
         }
+
+
+class TestFuzzRobustness:
+    """The naive parser runs inside executor tasks over arbitrary crawled
+    bytes — it must never raise, whatever the input."""
+
+    def test_arbitrary_bytes_never_raise(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=400))
+        def check(data):
+            pages = parse_pdf_pages(data)
+            assert isinstance(pages, list)
+            for p in pages:
+                assert isinstance(p["text"], str)
+                assert isinstance(p["links"], list)
+            meta = parse_pdf_metadata(data)
+            assert set(meta) == {"title", "author", "subject", "producer"}
+
+        check()
+
+    def test_pdf_prefixed_structures_never_raise(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        # bias the fuzz toward the grammar: magic + stream/BT/Tj fragments
+        frag = st.sampled_from([
+            b"stream\n", b"endstream", b"BT ", b"ET", b"(x) Tj", b"[(y)] TJ",
+            b"/URI (u)", b"(", b")", b"\\", b"\n", b"/Title (t)", b"abc",
+        ])
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(frag, max_size=20))
+        def check(parts):
+            data = b"%PDF-1.4\n" + b"".join(parts)
+            for p in parse_pdf_pages(data):
+                assert p["page_number"] >= 1
+            parse_pdf_metadata(data)
+
+        check()
