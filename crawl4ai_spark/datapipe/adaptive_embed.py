@@ -111,16 +111,22 @@ def coverage_gaps(
     kb: DataFrame | None,
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    best: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, embedding, gap): gap = min cosine DISTANCE to the KB =
     1 − best_sim (find_coverage_gaps :774-802); an empty/absent KB leaves
-    every query at the maximum gap 1.0."""
+    every query at the maximum gap 1.0. Pass ``best`` (a precomputed
+    ``best_similarity_per_query`` result, ideally cached) to avoid a
+    second KB scan when the caller also needs the confidence."""
     base = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("embedding")
     )
     if kb is None:
         return base.withColumn("gap", F.lit(1.0))
-    best = best_similarity_per_query(kb, queries, query_id=query_id, query_vec=query_vec)
+    if best is None:
+        best = best_similarity_per_query(
+            kb, queries, query_id=query_id, query_vec=query_vec
+        )
     return base.join(best, "query_id", "left").select(
         "query_id",
         "embedding",
