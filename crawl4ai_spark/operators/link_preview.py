@@ -327,6 +327,15 @@ def _bm25_corpus_scores(query_terms: list[str], corpus: list[list[str]]) -> list
     n_docs = len(corpus)
     dls = [float(len(t)) for t in corpus]
     avgdl = sum(dls) / n_docs
+    if avgdl == 0.0:
+        # every context tokenized to nothing (e.g. whitespace-only titles:
+        # '   ' passes the non-empty-context filter but splits to zero
+        # tokens). rank_bm25 itself raises ZeroDivisionError here — inside
+        # an executor task that would kill the whole query, so we score the
+        # degenerate group 0.0 instead (documented divergence; min-max then
+        # normalizes the all-equal group to 0.5, matching the oracle's
+        # degenerate-spread rule)
+        return [0.0] * n_docs
     df: dict[str, int] = {}
     for toks in corpus:
         for t in set(toks):

@@ -230,6 +230,27 @@ class TestScoring:
         assert out["https://a.test/missing"]["head_status"] is None
         assert out["https://a.test/p1"]["head_status"] == "valid"
 
+    def test_whitespace_only_contexts_do_not_crash(self, spark):
+        """A whitespace-only <title> yields a non-empty context that
+        tokenizes to zero tokens; a group of only such docs must score
+        0.5 (degenerate min-max), not ZeroDivisionError the executor
+        (rank_bm25 itself crashes on this corpus — documented divergence)."""
+        pages = _pages(spark, [
+            ("https://a.test/p1",
+             "<html><head><title>   </title></head><b>x</b></html>"),
+            ("https://a.test/p2",
+             "<html><head><title>\t </title></head><b>y</b></html>"),
+        ])
+        rows = [
+            ("https://a.test/", "https://a.test/p1", "one", False, 3.0, 0),
+            ("https://a.test/", "https://a.test/p2", "two", False, 2.5, 1),
+        ]
+        out = _by_href(
+            link_preview_scores(_links(spark, rows), pages, query="spark")
+        )
+        assert out["https://a.test/p1"]["contextual_score"] == 0.5
+        assert out["https://a.test/p2"]["contextual_score"] == 0.5
+
     def test_single_doc_group_minmax_degenerates_to_half(self, spark):
         rows = [("https://a.test/", "https://a.test/p1", "one", False, 3.0, 0)]
         out = _by_href(
