@@ -71,14 +71,14 @@ def train_unigram_lm(
         df.agg(F.sum(F.size(tokens_col(text_col)))).first()[0] or 0
     )
     topk = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(vocab_size)
-    if not materialize:
-        # the collect below must not make a later consumer of the returned
-        # LAZY vocab re-run the token shuffle — persist the ≤vocab_size-row
-        # result so both read one evaluation (explain still surfaces the
-        # distributed plan inside the InMemoryRelation for plan tests)
-        topk = topk.cache()
-    # ONE evaluation of the token shuffle (same as before — the vocabulary
-    # was always collected); it now also yields V_eff for the denominator
+    # ONE evaluation of the token shuffle here (same as before — the
+    # vocabulary was always collected); it also yields V_eff for the
+    # denominator. materialize=False deliberately does NOT cache topk: a
+    # .cache() with no unpersist handle would pin an InMemoryRelation for
+    # the session lifetime on every call. The lazy path exists for plan
+    # inspection; a consumer that EVALUATES the returned vocab re-runs the
+    # token shuffle once (materialize=True is the hot-path API and pays no
+    # such cost — its vocabulary is a local relation).
     rows = topk.collect()
     v_eff = min(vocab_size, len(rows))
     denom = float(n) + alpha * (v_eff + 1)

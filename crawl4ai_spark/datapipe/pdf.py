@@ -150,11 +150,10 @@ def _parse_any(data: bytes) -> list[dict]:
         return []
     try:
         return _pypdf_pages(data)
-    except NotImplementedError:
-        return parse_pdf_pages(data)
     except Exception:
-        # pypdf parse failure (PdfReadError etc.) — degrade, don't kill
-        # the mapInPandas task and with it the entire query
+        # pypdf absent (NotImplementedError) or parse failure (PdfReadError
+        # etc.) — degrade, don't kill the mapInPandas task and with it the
+        # entire query
         return parse_pdf_pages(data)
 
 

@@ -109,7 +109,7 @@ class SnapshotTable:
             dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
         return self._commit(m, list(dirs) + [name], meta)
 
-    def _sweep_orphans(self, keep: set[str], min_age_s: float = 300.0) -> None:
+    def _sweep_orphans(self, keep: set[str], min_age_s: float = 0.0) -> None:
         """Garbage-collect crash debris (the Iceberg analog is
         remove_orphan_files): ``.staging-*`` dirs from writers that died
         mid-job, and ``data-*`` dirs from writers that died in the instant
@@ -122,13 +122,20 @@ class SnapshotTable:
         data-* dir would sit in stream()'s glob forever and deliver
         uncommitted rows.
 
-        ``min_age_s``: only dirs untouched for this long are swept — the
-        same age cutoff Iceberg's remove_orphan_files applies, and for the
-        same reason: the sweep also runs on the READ path (stream()), where
-        the serial-writer contract says nothing about a concurrent writer
-        on this table whose staging dir exists but whose manifest commit
-        hasn't landed yet. An in-flight commit is seconds old; crash debris
-        a stream would mis-deliver is, by the time anyone tails it, not."""
+        ``min_age_s``: on the COMMIT path the sweep is unconditional
+        (min_age_s=0) — the serial-writer contract means the committing
+        writer is THE writer, so every unreferenced dir is dead debris and
+        erasing it immediately closes the uncommitted-row delivery window
+        for any stream created afterwards. The READ path (stream()) passes
+        a 300 s cutoff instead — the same age cutoff Iceberg's
+        remove_orphan_files applies, and for the same reason: a reader
+        cannot know whether an unreferenced dir belongs to a LIVE writer
+        whose manifest commit simply hasn't landed yet. Age is measured as
+        the newest mtime anywhere in the dir TREE, not the top-level dir —
+        Spark's parquet job writes part files under ``_temporary/``
+        without touching the staging dir's own mtime, so a top-level-mtime
+        heuristic would sweep a >300 s in-flight write out from under its
+        writer."""
         import time as _time
 
         referenced = set(keep)
@@ -140,12 +147,29 @@ class SnapshotTable:
                 continue
             if name in referenced:
                 continue
-            try:
-                if os.path.getmtime(os.path.join(self.root, name)) > cutoff:
-                    continue
-            except OSError:
-                continue  # vanished concurrently — nothing to sweep
-            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            path = os.path.join(self.root, name)
+            if min_age_s > 0:
+                try:
+                    if self._tree_newest_mtime(path) > cutoff:
+                        continue
+                except OSError:
+                    continue  # vanished concurrently — nothing to sweep
+            shutil.rmtree(path, ignore_errors=True)
+
+    @staticmethod
+    def _tree_newest_mtime(path: str) -> float:
+        """Newest mtime of the dir or anything under it (a write in flight
+        keeps SOME entry fresh even when the top-level dir mtime is stale)."""
+        newest = os.path.getmtime(path)
+        for dirpath, dirnames, filenames in os.walk(path):
+            for entry in dirnames + filenames:
+                try:
+                    mt = os.path.getmtime(os.path.join(dirpath, entry))
+                except OSError:
+                    continue  # file vanished mid-walk (job commit rename)
+                if mt > newest:
+                    newest = mt
+        return newest
 
     def _commit(self, manifest: dict, dirs: list[str], meta: dict | None) -> int:
         # publish staged dirs: rename .staging-<hex> -> data-<hex> (atomic
@@ -153,7 +177,9 @@ class SnapshotTable:
         # which an uncommitted data-* dir can exist (and pollute stream()'s
         # glob on a crash) is now the instant between this rename and the
         # manifest replace — and _sweep_orphans erases any debris a crash
-        # in that instant (or mid-write) left behind, on the next commit.
+        # in that instant (or mid-write) left behind, on the next commit,
+        # UNCONDITIONALLY: under the serial-writer contract the committing
+        # writer is the only live writer, so no age protection is needed.
         self._sweep_orphans(keep=set(dirs))
         published = []
         for d in dirs:
@@ -200,10 +226,14 @@ class SnapshotTable:
         predecessor's raises. Uncommitted writes never match the glob —
         they live in ``.staging-*`` until the commit publishes them (see
         ``_write_data``) — and data-* debris from a writer that crashed
-        between its publish rename and its manifest commit is swept here
-        (and on every commit), so the stream delivers ONLY
-        manifest-committed dirs."""
-        self._sweep_orphans(keep=set())
+        between its publish rename and its manifest commit is swept
+        unconditionally on every commit, and here with a 300 s age cutoff
+        (a reader can't distinguish fresh debris from a live writer's
+        not-yet-committed publish). Residual window, stated honestly: a
+        stream created within 300 s of such a crash AND before any
+        subsequent commit on this table can deliver the crashed writer's
+        published-but-uncommitted rows; the next commit erases them."""
+        self._sweep_orphans(keep=set(), min_age_s=300.0)
         current = self.read(spark)
         if current is None:
             raise ValueError(f"cannot stream {self.root}: no committed snapshot")

@@ -438,11 +438,16 @@ def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
     from crawl4ai_spark.sources.snapshots import SnapshotTable
 
     def _backdate(name):
-        # the sweep only touches dirs older than its age cutoff (the
-        # Iceberg remove_orphan_files convention — a FRESH unreferenced dir
-        # may be a concurrent writer's in-flight commit, see below)
+        # the READ-path sweep only touches dirs whose whole TREE is older
+        # than its age cutoff (the Iceberg remove_orphan_files convention —
+        # a FRESH entry anywhere under an unreferenced dir may be a
+        # concurrent writer's in-flight job, see below), so crash debris is
+        # aged recursively here
         p = os.path.join(t.root, name)
         os.utime(p, (0, 0))
+        for dirpath, dirnames, filenames in os.walk(p):
+            for entry in dirnames + filenames:
+                os.utime(os.path.join(dirpath, entry), (0, 0))
 
     t = SnapshotTable(str(tmp_path / "tbl"))
     df = spark.range(5).withColumnRenamed("id", "v")
@@ -457,8 +462,12 @@ def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
     orphan_staging = t._write_data(spark.range(7).withColumnRenamed("id", "v"))
     _backdate(orphan_staging)
     # plus a YOUNG unreferenced staging dir standing in for a concurrent
-    # writer mid-commit — the age cutoff must protect it on the read path
+    # writer mid-commit — the age cutoff must protect it on the read path.
+    # Backdate its TOP-LEVEL mtime only: a long-running Spark job writes
+    # part files under _temporary/ without touching the staging dir's own
+    # mtime, so the sweep must judge age by the newest entry in the tree.
     inflight = t._write_data(spark.range(300, 302).withColumnRenamed("id", "v"))
+    os.utime(os.path.join(t.root, inflight), (0, 0))
     assert os.path.exists(os.path.join(t.root, orphan_data))
 
     # stream() sweeps aged debris, spares the in-flight dir, and its
@@ -472,13 +481,16 @@ def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
 
     _shutil.rmtree(os.path.join(t.root, inflight))
 
-    # same sweep on the next commit path
+    # the commit path sweeps UNCONDITIONALLY — even seconds-old debris
+    # (no backdating here): under the serial-writer contract the committing
+    # writer is the only live writer, and erasing fresh crash debris at
+    # commit time is what closes the uncommitted-row window for any stream
+    # created after a crashed run resumes and re-appends
     staged2 = t._write_data(spark.range(200, 202).withColumnRenamed("id", "v"))
     os.replace(
         os.path.join(t.root, staged2),
         os.path.join(t.root, "data-" + staged2[len(".staging-"):]),
     )
-    _backdate("data-" + staged2[len(".staging-"):])
     t.append(spark.range(10, 13).withColumnRenamed("id", "v"))
     assert t.read(spark).count() == 8
     # only the two committed dirs survive

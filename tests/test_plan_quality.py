@@ -298,9 +298,15 @@ def test_embedding_confidence_broadcasts_queries_not_corpus(spark, sf_dir):
     )
     plan = _plan(best_similarity_per_query(kb, q))
     assert "BroadcastNestedLoopJoin" in plan
-    # the only exchange is the Q-row aggregation on query_id — the corpus
-    # side reaches the join straight from its scan
-    corpus_side = plan.split("BroadcastNestedLoopJoin")[1]
+    # the only SHUFFLE exchange is the Q-row aggregation on query_id,
+    # ABOVE the join — below it, the corpus side reaches the join straight
+    # from its scan (the BroadcastExchange on the tiny query side is the
+    # design; a hash/range/single-partition exchange here would mean the
+    # whole knowledge base shuffles every adaptive step)
+    below_join = plan.split("BroadcastNestedLoopJoin")[1]
+    assert "Exchange hashpartitioning" not in below_join
+    assert "Exchange rangepartitioning" not in below_join
+    assert "Exchange SinglePartition" not in below_join
     scan_count = plan.count("Scan parquet")
     assert scan_count == 2  # one kb scan + one (broadcast) query scan
     # partial agg before the exchange: map-side max per query
