@@ -393,7 +393,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "query_id", "vec_id"
         ).cache()
         n_bf = bf_top.count()
-        for nprobe in (4, 8):
+        for nprobe in (4, 8, 16):
             ivf_top = ann_ivf_topk(
                 ivf_table, qset, nprobe=nprobe, k=5,
                 centroids=ivf_cents, cell_col="ivf_cell",
