@@ -414,15 +414,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timed(
         "text_stats",
-        lambda: _count(
-            corpus.select(
-                "doc_id",
-                token_count_col("text").alias("n_tokens"),
-                quality_score_col("text").alias("quality"),
-                lang_id_col("text").alias("lang"),
-                fingerprint_col("text").alias("fingerprint"),
-            )
-        ),
+        # aggregate over every computed column — a bare count() of the
+        # projection would let Catalyst prune all four signal columns out
+        # of the timed plan (the projection preserves row count), timing a
+        # corpus scan instead of the operators
+        lambda: corpus.select(
+            "doc_id",
+            token_count_col("text").alias("n_tokens"),
+            quality_score_col("text").alias("quality"),
+            lang_id_col("text").alias("lang"),
+            fingerprint_col("text").alias("fingerprint"),
+        ).agg(
+            F.count(F.lit(1)),
+            F.sum("n_tokens"),
+            F.sum("quality"),
+            F.count_distinct("lang"),
+            F.count_distinct("fingerprint"),
+        ).collect(),
     )
 
     total = round(sum(timings.values()), 3)
