@@ -178,7 +178,10 @@ def select_links_for_expansion(
     by (1 − overlap_penalty) where the penalty is 2·(max KB similarity −
     threshold) when above threshold. Candidates carrying a truthy
     ``contextual_col`` blend 0.8·score + 0.2·contextual (the reference's
-    ``if link.contextual_score`` — NULL *and 0.0* skip the blend).
+    ``if link.contextual_score`` — NULL *and 0.0* skip the blend). With an
+    EMPTY gaps input the score is pinned at exactly 0.0 with no blend —
+    the reference's ``if not gaps: score = 0.0`` (:869-870) short-circuits
+    before the blend, which lives inside the else branch.
 
     Returns (id, gap_score, overlap_penalty, score). Candidates without an
     embedding are dropped, as the reference skips them."""
@@ -188,8 +191,20 @@ def select_links_for_expansion(
     needing = gaps.filter(F.col("gap") > coverage_radius).select(
         F.col("embedding").alias("_gv"), F.col("gap").alias("_gd")
     )
-    # n_gaps_needing_help as a broadcast scalar column — gaps are ≤ Q rows
-    n_need = F.broadcast(needing.agg(F.count(F.lit(1)).alias("_n_need")))
+    # two broadcast scalar columns — gaps are ≤ Q rows. _n_gaps (the FULL
+    # gap count) is needed besides _n_need: the reference short-circuits to
+    # score = 0.0 BEFORE the contextual blend only when the gaps list
+    # itself is empty (`if not gaps:` :869-870 — the blend sits inside the
+    # else), whereas "gaps exist but none exceed the radius" falls through
+    # to gap_reduction_score = 0 AND still blends
+    n_need = F.broadcast(
+        gaps.agg(
+            F.count(F.lit(1)).alias("_n_gaps"),
+            F.coalesce(
+                F.sum((F.col("gap") > coverage_radius).cast("long")), F.lit(0)
+            ).alias("_n_need"),
+        )
+    )
     improved = (
         cand.crossJoin(F.broadcast(needing))
         .withColumn("_new_d", F.lit(1.0) - cosine_col(F.col(vec_col), F.col("_gv")))
@@ -231,7 +246,8 @@ def select_links_for_expansion(
     if contextual_col:
         ctx = F.col(contextual_col)
         score = F.when(
-            ctx.isNotNull() & (ctx != 0.0), score * 0.8 + ctx * 0.2
+            ctx.isNotNull() & (ctx != 0.0) & (F.col("_n_gaps") > 0),
+            score * 0.8 + ctx * 0.2,
         ).otherwise(score)
     return scored.select(
         id_col, "gap_score", "overlap_penalty", score.alias("score")

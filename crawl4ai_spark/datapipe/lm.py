@@ -71,14 +71,18 @@ def train_unigram_lm(
         df.agg(F.sum(F.size(tokens_col(text_col)))).first()[0] or 0
     )
     topk = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(vocab_size)
-    # ONE evaluation of the token shuffle here (same as before — the
-    # vocabulary was always collected); it also yields V_eff for the
-    # denominator. materialize=False deliberately does NOT cache topk: a
-    # .cache() with no unpersist handle would pin an InMemoryRelation for
-    # the session lifetime on every call. The lazy path exists for plan
-    # inspection; a consumer that EVALUATES the returned vocab re-runs the
-    # token shuffle once (materialize=True is the hot-path API and pays no
-    # such cost — its vocabulary is a local relation).
+    # ONE evaluation of the token shuffle here, on BOTH paths: the exact
+    # V_eff clamp (and therefore the oov_logp SCALAR this function
+    # returns) cannot be known without evaluating the counts. For
+    # materialize=True (the hot-path API) this was always the cost — the
+    # vocabulary ends up a local relation and no consumer ever re-runs
+    # the train plan. materialize=False is the plan-inspection path and
+    # now pays MORE than it used to: the collect here (new with the V_eff
+    # clamp) plus the token shuffle AGAIN each time the returned lazy
+    # vocab is evaluated. It deliberately does NOT cache topk (a .cache()
+    # with no unpersist handle would pin an InMemoryRelation for the
+    # session lifetime on every call) — production consumers must use
+    # materialize=True.
     rows = topk.collect()
     v_eff = min(vocab_size, len(rows))
     denom = float(n) + alpha * (v_eff + 1)

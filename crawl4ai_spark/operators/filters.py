@@ -226,6 +226,57 @@ def url_validity_filter(url: Column, depth: Column | None = None) -> Column:
     return valid
 
 
+def head_title_col(head: Column) -> Column:
+    """HeadPeekr title (utils.py:2846-2849): case-insensitive DOTALL
+    regex over the raw head string."""
+    return F.regexp_extract(head, "(?is)<title>(.*?)</title>", 1)
+
+
+def head_meta_tags_col(head: Column) -> Column:
+    """HeadPeekr meta-tag extraction (utils.py:2840-2861): ``<meta ...>``
+    blobs that carry ``content=`` and a ``name=``/``property=`` key, any
+    attribute order, either quote style; tags missing either are dropped.
+    The ONE spelling of this regex surface — F5 relevance scoring and the
+    link-preview context extraction both consume it, so a fix to the known
+    quirks (case-sensitive ``name=``/``property=`` matching, non-greedy
+    ``content=["'](.*?)["']`` truncating values that contain the other
+    quote char) lands everywhere together."""
+    return F.filter(
+        F.regexp_extract_all(head, F.lit(r"<meta[^>]+>"), 0),
+        lambda t: t.rlike("content=[\"']")
+        & (t.rlike("name=[\"']") | t.rlike("property=[\"']")),
+    )
+
+
+def meta_tag_content_col(tag: Column) -> Column:
+    """The ``content=`` value of ONE extracted meta-tag blob (not to be
+    confused with ``meta_content_col(head, key)`` below, HeadPeekr's
+    one-key getter over a whole head)."""
+    return F.regexp_extract(tag, "content=[\"'](.*?)[\"']", 1)
+
+
+def meta_tag_key_col(tag: Column) -> Column:
+    """One blob's key: ``name=`` if present, else ``property=``."""
+    name = F.regexp_extract(tag, "name=[\"'](.*?)[\"']", 1)
+    prop = F.regexp_extract(tag, "property=[\"'](.*?)[\"']", 1)
+    return F.when(name != "", name).otherwise(prop)
+
+
+def head_meta_get(metas: Column, name: str) -> Column:
+    """meta dict ``.get(name, '')`` — last tag with that key wins, like
+    the reference's dict insertion order."""
+
+    # one-arg lambda only: a two-param lambda would receive the array
+    # INDEX as its second argument
+    def _match(t):
+        return meta_tag_key_col(t) == name
+
+    hits = F.filter(metas, _match)
+    return F.when(
+        F.size(hits) > 0, meta_tag_content_col(F.element_at(hits, -1))
+    ).otherwise(F.lit(""))
+
+
 def content_relevance_score_col(
     head: Column,
     query: str,
@@ -238,32 +289,12 @@ def content_relevance_score_col(
     weighted document = title·3 ⊕ description·2 ⊕ keywords ⊕ all meta
     values (string REPETITION, so copy boundaries merge tokens — quirk
     preserved), simplified idf = ln(2/(tf+0.5)+1), fixed avgdl."""
-    # HeadPeekr field extraction (utils.py:2840-2861): title via
-    # case-insensitive DOTALL regex; meta tags are <meta ...> blobs whose
-    # key is name= else property= and whose value is content= — any
-    # attribute order, either quote style. Tags missing content or a key
-    # are dropped.
-    title = F.regexp_extract(head, "(?is)<title>(.*?)</title>", 1)
-    metas = F.filter(
-        F.regexp_extract_all(head, F.lit(r"<meta[^>]+>"), 0),
-        lambda t: t.rlike("content=[\"']")
-        & (t.rlike("name=[\"']") | t.rlike("property=[\"']")),
-    )
-    _name = lambda t: F.regexp_extract(t, "name=[\"'](.*?)[\"']", 1)  # noqa: E731
-    _prop = lambda t: F.regexp_extract(t, "property=[\"'](.*?)[\"']", 1)  # noqa: E731
-    _content = lambda t: F.regexp_extract(t, "content=[\"'](.*?)[\"']", 1)  # noqa: E731
-    _key = lambda t: F.when(_name(t) != "", _name(t)).otherwise(_prop(t))  # noqa: E731
+    title = head_title_col(head)
+    metas = head_meta_tags_col(head)
+    _content = meta_tag_content_col
 
-    def _meta_get(name: str) -> Column:
-        """meta dict .get(name, '') — last tag with that key wins, like the
-        reference's dict insertion."""
-        hits = F.filter(metas, lambda t: _key(t) == name)
-        return F.when(
-            F.size(hits) > 0, _content(F.element_at(hits, -1))
-        ).otherwise(F.lit(""))
-
-    desc = _meta_get("description")
-    kw = _meta_get("keywords")
+    desc = head_meta_get(metas, "description")
+    kw = head_meta_get(metas, "keywords")
     # "all meta values" = ' '.join(meta_dict.values()) (filters.py:546) —
     # og:, twitter:, author, ... included, document order. Dict-key dedup of
     # repeated meta names is the one divergence left: a head repeating a

@@ -78,31 +78,18 @@ def _fnmatch_col(url: Column, patterns: list[str]) -> Column:
 def head_text_context_col(head: Column) -> Column:
     """_extract_text_context (async_url_seeder.py:1143-1194) over a raw
     head string: title, then each meta key in reference order; non-empty
-    parts joined with single spaces. Meta parsing mirrors HeadPeekr
-    (same regex surface as filters.content_relevance_score_col)."""
-    title = F.regexp_extract(head, "(?is)<title>(.*?)</title>", 1)
-    metas = F.filter(
-        F.regexp_extract_all(head, F.lit(r"<meta[^>]+>"), 0),
-        lambda t: t.rlike("content=[\"']")
-        & (t.rlike("name=[\"']") | t.rlike("property=[\"']")),
+    parts joined with single spaces. Meta parsing is HeadPeekr's — shared
+    with F5 via filters.head_meta_tags_col/head_meta_get, so the regex
+    surface has exactly one spelling."""
+    from crawl4ai_spark.operators.filters import (
+        head_meta_get,
+        head_meta_tags_col,
+        head_title_col,
     )
-    _name = lambda t: F.regexp_extract(t, "name=[\"'](.*?)[\"']", 1)  # noqa: E731
-    _prop = lambda t: F.regexp_extract(t, "property=[\"'](.*?)[\"']", 1)  # noqa: E731
-    _content = lambda t: F.regexp_extract(t, "content=[\"'](.*?)[\"']", 1)  # noqa: E731
-    _key = lambda t: F.when(_name(t) != "", _name(t)).otherwise(_prop(t))  # noqa: E731
 
-    def _meta_get(name: str) -> Column:
-        # one-arg lambda only: a two-param lambda would receive the array
-        # INDEX as its second argument (same trap filters.py documents)
-        def _match(t):
-            return _key(t) == name
-
-        hits = F.filter(metas, _match)
-        return F.when(
-            F.size(hits) > 0, _content(F.element_at(hits, -1))
-        ).otherwise(F.lit(""))
-
-    parts = [title] + [_meta_get(k) for k in _CONTEXT_META_KEYS]
+    title = head_title_col(head)
+    metas = head_meta_tags_col(head)
+    parts = [title] + [head_meta_get(metas, k) for k in _CONTEXT_META_KEYS]
     return F.array_join(
         F.filter(F.array(*parts), lambda p: p != ""), " "
     )
@@ -239,7 +226,24 @@ def link_preview_scores(
     heads = pages.select(
         F.col("url").alias("href"),
         F.substring_index(F.col("html_str"), "</head>", 1).alias("_head"),
+        *(["warc_ts"] if "warc_ts" in pages.columns else []),
     )
+    # multi-capture corpora (several rows per url — normal in WARC
+    # snapshots) must not fan the link rows out: a duplicated href would
+    # emit duplicate (src_url, href) output rows AND double-count that
+    # head in the per-page BM25 corpus (shifting df/idf and min-max for
+    # every link on the page). Collapse to ONE deterministic capture per
+    # href — latest warc_ts when the column exists, lexicographic max
+    # head otherwise (the crawl loop's fetch join makes the same
+    # collapse, plans/crawl.py step 3). The aggregate keys on href, the
+    # exact key the join exchanges on, so map-side partial agg collapses
+    # duplicates before the shuffle the join needed anyway.
+    if "warc_ts" in pages.columns:
+        heads = heads.groupBy("href").agg(
+            F.max(F.struct("warc_ts", "_head"))["_head"].alias("_head")
+        )
+    else:
+        heads = heads.groupBy("href").agg(F.max("_head").alias("_head"))
     fetched = flagged.join(heads, "href", "left")
     fetched = fetched.withColumn(
         "head_status",
@@ -256,38 +260,42 @@ def link_preview_scores(
 
     if query:
         scored = _bm25_group_scores(fetched, query)
-        if score_threshold is not None:
-            # extract_head_for_urls drops below-threshold results entirely
-            # (missing scores count as 0) — dropped links merge back as
-            # UNTOUCHED, exactly like never-selected ones
-            # materialize the flag BEFORE touching _sel: `dropped` is lazy,
-            # so rewriting _sel first would re-resolve it against the
-            # already-falsified column and the nulling below would never fire
-            scored = scored.withColumn(
-                "_dropped",
-                F.col("_sel")
-                & (
-                    F.coalesce(F.col("contextual_score"), F.lit(0.0))
-                    < F.lit(score_threshold)
-                ),
-            )
-            scored = (
-                scored.withColumn("_sel", F.col("_sel") & ~F.col("_dropped"))
-                .withColumn(
-                    "head_status",
-                    F.when(F.col("_dropped"), F.lit(None).cast("string"))
-                    .otherwise(F.col("head_status")),
-                )
-                .withColumn(
-                    "contextual_score",
-                    F.when(F.col("_dropped"), F.lit(None).cast("double"))
-                    .otherwise(F.col("contextual_score")),
-                )
-                .drop("_dropped")
-            )
     else:
         scored = fetched.withColumn(
             "contextual_score", F.lit(None).cast("double")
+        )
+    if score_threshold is not None:
+        # extract_head_for_urls applies the threshold UNCONDITIONALLY
+        # (async_url_seeder.py:630-631) — even with no query, where no
+        # result carries a relevance_score, so `r.get("relevance_score",
+        # 0) >= threshold` drops EVERY selected link for any positive
+        # threshold (quirk preserved: threshold-without-query is a
+        # select-nothing config). Dropped links merge back as UNTOUCHED,
+        # exactly like never-selected ones.
+        # materialize the flag BEFORE touching _sel: `dropped` is lazy,
+        # so rewriting _sel first would re-resolve it against the
+        # already-falsified column and the nulling below would never fire
+        scored = scored.withColumn(
+            "_dropped",
+            F.col("_sel")
+            & (
+                F.coalesce(F.col("contextual_score"), F.lit(0.0))
+                < F.lit(score_threshold)
+            ),
+        )
+        scored = (
+            scored.withColumn("_sel", F.col("_sel") & ~F.col("_dropped"))
+            .withColumn(
+                "head_status",
+                F.when(F.col("_dropped"), F.lit(None).cast("string"))
+                .otherwise(F.col("head_status")),
+            )
+            .withColumn(
+                "contextual_score",
+                F.when(F.col("_dropped"), F.lit(None).cast("double"))
+                .otherwise(F.col("contextual_score")),
+            )
+            .drop("_dropped")
         )
 
     # -- calculate_total_score (utils.py:3238-3283), applied only to links
@@ -328,13 +336,11 @@ def _bm25_corpus_scores(query_terms: list[str], corpus: list[list[str]]) -> list
     dls = [float(len(t)) for t in corpus]
     avgdl = sum(dls) / n_docs
     if avgdl == 0.0:
-        # every context tokenized to nothing (e.g. whitespace-only titles:
-        # '   ' passes the non-empty-context filter but splits to zero
-        # tokens). rank_bm25 itself raises ZeroDivisionError here — inside
-        # an executor task that would kill the whole query, so we score the
-        # degenerate group 0.0 instead (documented divergence; min-max then
-        # normalizes the all-equal group to 0.5, matching the oracle's
-        # degenerate-spread rule)
+        # defensive only — the caller (score_group) already short-circuits
+        # the all-empty batch to 0.0 per the reference's own guard
+        # (async_url_seeder.py:1396-1398), which returns [0.0]*n before
+        # instantiating BM25Okapi, so this branch is unreachable from the
+        # group kernel; kept so a direct caller can never divide by zero
         return [0.0] * n_docs
     df: dict[str, int] = {}
     for toks in corpus:
@@ -398,10 +404,20 @@ def _bm25_group_scores(fetched: DataFrame, query: str) -> DataFrame:
                 [t for t in str(c).lower().split() if t]
                 for c in pdf.loc[idx, "_ctx"]
             ]
-            raw = _bm25_corpus_scores(q_terms, corpus)
-            lo, hi = min(raw), max(raw)
-            normed = [0.5 if hi == lo else (r - lo) / (hi - lo) for r in raw]
-            ctx_scores.loc[idx] = normed
+            if all(len(t) == 0 for t in corpus):
+                # reference guard (async_url_seeder.py:1396-1398): a batch
+                # whose every document tokenizes to nothing (e.g.
+                # whitespace-only titles) returns [0.0]*n BEFORE BM25Okapi
+                # and BEFORE min-max — so these links score exactly 0.0,
+                # NOT the all-equal min-max value of 0.5
+                ctx_scores.loc[idx] = 0.0
+            else:
+                raw = _bm25_corpus_scores(q_terms, corpus)
+                lo, hi = min(raw), max(raw)
+                normed = [
+                    0.5 if hi == lo else (r - lo) / (hi - lo) for r in raw
+                ]
+                ctx_scores.loc[idx] = normed
         # fallback: 'valid' target whose head yielded no text context
         fb = (
             pdf["_sel"].fillna(False)

@@ -54,6 +54,24 @@ from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
 from crawl4ai_spark.sources.snapshots import SnapshotTable
 
 
+def embed_results_batch(new: DataFrame, dim: int) -> DataFrame:
+    """(url, embedding) rows for a results slice, reference update_state
+    semantics (adaptive_crawler.py:1169-1181): only successful pages whose
+    extraction yielded NON-EMPTY markdown reach the embedder (`if
+    content:`) — an empty/NULL-markdown page would hash to the zero
+    vector, score cosine 0 against every KB row, and be admitted forever
+    (unbounded junk growth the reference never exhibits). The reference's
+    ``content[:5000]`` cap lives inside ``hash_embedding_col``."""
+    return (
+        new.filter("success")
+        .filter(F.coalesce(F.length("raw_markdown"), F.lit(0)) > 0)
+        .select(
+            "url",
+            hash_embedding_col("raw_markdown", dim=dim).alias("embedding"),
+        )
+    )
+
+
 @dataclass
 class EmbeddingAdaptiveConfig:
     confidence_threshold: float = 0.7          # digest-level stop
@@ -142,16 +160,7 @@ class EmbeddingAdaptiveCrawl:
         cur, new = self.run.t_results.read_since(self.spark, self._results_cursor)
         if new is None:
             return
-        batch = (
-            new.filter("success")
-            .select(
-                "url",
-                hash_embedding_col(
-                    F.coalesce("raw_markdown", F.lit("")),
-                    dim=self.config.embedding_dim,
-                ).alias("embedding"),
-            )
-        )
+        batch = embed_results_batch(new, self.config.embedding_dim)
         admitted = kb_admit_new(
             self.kb(), batch, threshold=self.config.kb_similarity_threshold
         )

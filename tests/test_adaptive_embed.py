@@ -119,6 +119,55 @@ class TestKernels:
         assert out["c"] == pytest.approx(base)
         assert out["a"] == pytest.approx(base * 0.8 + 0.5 * 0.2)
 
+    def test_empty_gaps_pins_score_zero_without_blend(self, spark):
+        """Reference `if not gaps: score = 0.0` (adaptive_crawler.py:
+        869-870) — the contextual blend lives inside the ELSE branch, so
+        an EMPTY gaps input yields exactly 0.0 even for candidates with a
+        truthy contextual score."""
+        gaps = _vecs(spark, [],
+                     "embedding array<float>, gap double").select(
+            "embedding", "gap")
+        cand = _vecs(spark, [("a", [0.0, 1.0], 0.5)],
+                     "href string, embedding array<float>, ctx double")
+        out = select_links_for_expansion(
+            cand, gaps, None, contextual_col="ctx"
+        ).collect()
+        assert out[0]["score"] == 0.0
+
+    def test_covered_gaps_still_blend_contextual(self, spark):
+        """Gaps EXIST but none exceed the radius: the reference falls
+        through to gap_reduction_score = 0 and STILL blends (the `if not
+        gaps` short-circuit does not fire) — score = 0*0.8 + ctx*0.2."""
+        kb = _vecs(spark, [("k1", [0.0, 1.0])])
+        q = _vecs(spark, [("q1", [0.0, 1.0])],
+                  "query_id string, embedding array<float>")
+        gaps = coverage_gaps(q, kb)  # gap = 0.0 <= radius
+        cand = _vecs(spark, [("a", [1.0, 0.0], 0.5)],
+                     "href string, embedding array<float>, ctx double")
+        out = select_links_for_expansion(
+            cand, gaps, None, contextual_col="ctx"
+        ).collect()
+        assert out[0]["score"] == pytest.approx(0.0 * 0.8 + 0.5 * 0.2)
+
+    def test_empty_markdown_pages_never_reach_the_kb(self, spark):
+        """update_state's `if content:` (adaptive_crawler.py:1177-1181):
+        successful pages with empty or NULL raw_markdown are not embedded
+        or admitted — they'd hash to the zero vector and be admitted on
+        every batch forever."""
+        from crawl4ai_spark.plans.adaptive_embed import embed_results_batch
+
+        new = spark.createDataFrame(
+            [
+                ("https://a.test/real", True, "# some markdown"),
+                ("https://a.test/empty", True, ""),
+                ("https://a.test/null", True, None),
+                ("https://a.test/failed", False, "# never fetched"),
+            ],
+            "url string, success boolean, raw_markdown string",
+        )
+        batch = embed_results_batch(new, dim=8)
+        assert [r["url"] for r in batch.collect()] == ["https://a.test/real"]
+
     def test_quality_confidence_mapping(self):
         # unvalidated: conservative 0.8x
         assert quality_confidence(0.5, 0.0, False) == pytest.approx(0.4)

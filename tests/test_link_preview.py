@@ -230,11 +230,13 @@ class TestScoring:
         assert out["https://a.test/missing"]["head_status"] is None
         assert out["https://a.test/p1"]["head_status"] == "valid"
 
-    def test_whitespace_only_contexts_do_not_crash(self, spark):
+    def test_whitespace_only_contexts_score_zero(self, spark):
         """A whitespace-only <title> yields a non-empty context that
-        tokenizes to zero tokens; a group of only such docs must score
-        0.5 (degenerate min-max), not ZeroDivisionError the executor
-        (rank_bm25 itself crashes on this corpus — documented divergence)."""
+        tokenizes to zero tokens. The reference's own guard
+        (async_url_seeder.py:1396-1398) returns [0.0]*n for an all-empty
+        tokenized batch BEFORE BM25Okapi and BEFORE min-max — so these
+        links score exactly 0.0 (NOT the all-equal min-max 0.5), and the
+        executor must not see rank_bm25's ZeroDivisionError."""
         pages = _pages(spark, [
             ("https://a.test/p1",
              "<html><head><title>   </title></head><b>x</b></html>"),
@@ -248,8 +250,8 @@ class TestScoring:
         out = _by_href(
             link_preview_scores(_links(spark, rows), pages, query="spark")
         )
-        assert out["https://a.test/p1"]["contextual_score"] == 0.5
-        assert out["https://a.test/p2"]["contextual_score"] == 0.5
+        assert out["https://a.test/p1"]["contextual_score"] == 0.0
+        assert out["https://a.test/p2"]["contextual_score"] == 0.0
 
     def test_single_doc_group_minmax_degenerates_to_half(self, spark):
         rows = [("https://a.test/", "https://a.test/p1", "one", False, 3.0, 0)]
@@ -257,6 +259,98 @@ class TestScoring:
             link_preview_scores(_links(spark, rows), _pages(spark), query="spark")
         )
         assert out["https://a.test/p1"]["contextual_score"] == 0.5
+
+    def test_threshold_without_query_drops_all_selected(self, spark):
+        """extract_head_for_urls applies score_threshold unconditionally
+        (async_url_seeder.py:630-631): with no query, no result carries a
+        relevance_score, so get('relevance_score', 0) >= threshold drops
+        EVERY selected link for any positive threshold — they merge back
+        untouched (all three outputs NULL), like never-selected links."""
+        out = _by_href(
+            link_preview_scores(
+                _links(spark), _pages(spark), query=None, score_threshold=0.3
+            )
+        )
+        for href in ("https://a.test/p1", "https://a.test/p2",
+                     "https://a.test/missing"):
+            assert out[href]["head_status"] is None
+            assert out[href]["contextual_score"] is None
+            assert out[href]["total_score"] is None
+        # threshold 0.0 keeps everything (0 >= 0), scores as usual
+        out0 = _by_href(
+            link_preview_scores(
+                _links(spark), _pages(spark), query=None, score_threshold=0.0
+            )
+        )
+        assert out0["https://a.test/p1"]["head_status"] == "valid"
+        assert out0["https://a.test/p1"]["total_score"] == 3.0
+
+    def test_multi_capture_pages_do_not_fan_out(self, spark):
+        """A WARC-style corpus holding several captures of one URL must
+        not duplicate output link rows or double-count that head in the
+        per-page BM25 corpus: the head join collapses to one
+        deterministic capture per href (lexicographic max head without
+        warc_ts — the same collapse the crawl fetch join makes)."""
+        pages = _pages(spark, [
+            ("https://a.test/p1",
+             "<html><head><title>AAA old capture</title></head></html>"),
+            ("https://a.test/p1",
+             "<html><head><title>ZZZ new capture spark</title></head></html>"),
+            ("https://a.test/p2",
+             "<html><head><title>Cooking recipes</title></head></html>"),
+            ("https://a.test/p3",
+             "<html><head><title>Gardening tips</title></head></html>"),
+        ])
+        rows = [
+            ("https://a.test/", "https://a.test/p1", "one", False, 3.0, 0),
+            ("https://a.test/", "https://a.test/p2", "two", False, 2.5, 1),
+            ("https://a.test/", "https://a.test/p3", "three", False, 2.0, 2),
+        ]
+        res = link_preview_scores(_links(spark, rows), pages, query="spark")
+        collected = res.collect()
+        assert len(collected) == 3  # one row per input link, no fan-out
+        out = {r["href"]: r.asDict() for r in collected}
+        # the lexicographic max head ('ZZZ...' > 'AAA...') carries 'spark'
+        # -> p1 tops the 3-doc BM25 group (df=1 of 3: positive idf)
+        assert out["https://a.test/p1"]["contextual_score"] == 1.0
+        assert out["https://a.test/p2"]["contextual_score"] == 0.0
+        assert out["https://a.test/p3"]["contextual_score"] == 0.0
+
+    def test_multi_capture_prefers_latest_warc_ts(self, spark):
+        """When the pages frame carries warc_ts, the collapse keeps the
+        LATEST capture (not the lexicographic max head)."""
+        pages = spark.createDataFrame(
+            [
+                ("https://a.test/p1",
+                 "<html><head><title>ZZZ stale spark spark</title></head></html>",
+                 "2020-01-01 00:00:00"),
+                ("https://a.test/p1",
+                 "<html><head><title>AAA fresh cooking</title></head></html>",
+                 "2024-01-01 00:00:00"),
+                ("https://a.test/p2",
+                 "<html><head><title>unrelated words</title></head></html>",
+                 "2024-01-01 00:00:00"),
+                ("https://a.test/p3",
+                 "<html><head><title>gardening tips</title></head></html>",
+                 "2024-01-01 00:00:00"),
+            ],
+            "url string, html_str string, warc_ts string",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        rows = [
+            ("https://a.test/", "https://a.test/p1", "one", False, 3.0, 0),
+            ("https://a.test/", "https://a.test/p2", "two", False, 2.5, 1),
+            ("https://a.test/", "https://a.test/p3", "three", False, 2.0, 2),
+        ]
+        out = _by_href(
+            link_preview_scores(_links(spark, rows), pages, query="cooking")
+        )
+        # the FRESH p1 head carries 'cooking' -> p1 tops the 3-doc group.
+        # Had the stale (lexicographically larger ZZZ) capture won the
+        # collapse, 'cooking' would miss p1's vocabulary too and the
+        # all-equal group would min-max everyone to 0.5.
+        assert out["https://a.test/p1"]["contextual_score"] == 1.0
+        assert out["https://a.test/p2"]["contextual_score"] == 0.0
+        assert out["https://a.test/p3"]["contextual_score"] == 0.0
 
 
 class TestHeadTextContext:
