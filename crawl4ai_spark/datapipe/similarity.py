@@ -900,7 +900,21 @@ def cosine_cluster_linkage(
     def cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf["vec_id"].to_numpy().argsort(kind="stable")
         ids = pdf["vec_id"].to_numpy()[order]
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
+        # tolerate malformed rows (a truncated/null embedding shares bucket
+        # 0 with legit vectors): zero-pad to the group's max width instead
+        # of letting np.asarray raise on a ragged list and kill the job —
+        # padding matches zip_with's truncation semantics in cosine_col
+        vecs = [
+            np.atleast_1d(np.asarray(v, dtype=np.float64))
+            if v is not None
+            else np.zeros(0, dtype=np.float64)
+            for v in pdf["vec"]
+        ]
+        width = max((v.shape[0] for v in vecs), default=0)
+        X = np.zeros((len(vecs), max(width, 1)), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            X[i, : v.shape[0]] = np.nan_to_num(v)
+        X = X[order]
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
         Xn = X / norms[:, None]

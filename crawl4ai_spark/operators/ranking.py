@@ -179,11 +179,23 @@ def capacity_topk(
     score_col: str = "score",
     salt: int = 16,
     small_input: bool = False,
+    ascending: bool = False,
 ) -> DataFrame:
-    """Keep the top-``capacity`` rows by score DESC (O4), deterministic
+    """Keep the top-``capacity`` rows by score (O4), deterministic
     tie-break on url — salted two-pass (or range rank above LARGE_K_ROWS),
-    safe on unbounded discovery sets."""
-    order = [F.col(score_col).desc(), F.col("url").asc()]
+    safe on unbounded discovery sets.
+
+    ``ascending=False`` (default) keeps the HIGHEST scores — the reference
+    BFS capacity trim (bfs_strategy.py:124-130 sorts valid_links score
+    DESC before slicing). ``ascending=True`` keeps the LOWEST scores — for
+    best-first mode, whose priority queue pops min-score-first (the
+    preserved heapq quirk), so the trim must retain the rows the queue
+    would pop FIRST; the reference's own best-first trim
+    (bff_strategy.py:120-122) slices in async arrival order, which is
+    nondeterministic, so queue-priority order is the deterministic
+    stand-in."""
+    score = F.col(score_col)
+    order = [score.asc() if ascending else score.desc(), F.col("url").asc()]
     return salted_global_topk(
         df, order, capacity, hash_on="url", salt=salt, small_input=small_input
     ).drop("_topk_rank")

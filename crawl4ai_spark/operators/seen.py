@@ -75,6 +75,7 @@ def build_bloom(
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
     merge_fanin: int = BLOOM_MERGE_FANIN,
+    hash_col: str | None = None,
 ) -> BloomFilterSet:
     """Distributed build: per-partition numpy bitsets via mapInPandas
     (SURVEY.md §4 custom-work item 1). On wide inputs the bitsets are
@@ -83,8 +84,16 @@ def build_bloom(
     ``merge_fanin`` bitsets however many partitions the scan has — on a
     10k-partition cluster that is ~32 MiB through the driver instead of
     ~10 GiB. OR is associative/commutative, so the result is bit-identical
-    to the single-level merge."""
-    hashed = df.select(F.xxhash64(F.col(key)).alias("h"))
+    to the single-level merge.
+
+    ``hash_col``: name of a column already holding ``xxhash64(key)`` (the
+    seen table materializes ``url_hash`` at every append) — the build then
+    scans the stored longs instead of re-hashing every key string per
+    iteration, and the parquet scan prunes to that one column."""
+    if hash_col is not None:
+        hashed = df.select(F.col(hash_col).alias("h"))
+    else:
+        hashed = df.select(F.xxhash64(F.col(key)).alias("h"))
 
     def per_partition(batches):
         bf = BloomFilterSet(num_bits, num_hashes)

@@ -146,6 +146,21 @@ class CrawlRun:
         # ~1 MiB broadcast per iteration on driver and executors
         self._bloom_bc = None
 
+    def _reconcile(self, next_iteration: int) -> None:
+        """Resume-time crash reconciliation. The commit protocol orders
+        every iteration-tagged manifest commit (results, lineage, seen,
+        host_state — all ``meta={'iteration': N}``) BEFORE the frontier
+        replace that advances to N+1, so after a crash the frontier's
+        iteration K is the WAL tip: any trailing snapshot on the other
+        tables tagged >= K belongs to a crashed, uncommitted iteration.
+        Roll those back before re-running iteration K — its deterministic
+        re-execution would otherwise double-append identical results and
+        lineage rows (duplicate visit_order values, doubled counters)."""
+        for t in (self.t_results, self.t_lineage, self.t_seen, self.t_host_state):
+            t.rollback_trailing(
+                lambda m: m.get("iteration", -(10**9)) >= next_iteration
+            )
+
     def _destroy_bloom_bc(self) -> None:
         if self._bloom_bc is not None:
             try:
@@ -159,7 +174,15 @@ class CrawlRun:
         meta = self.t_frontier.snapshot_meta() or {}
         return {
             "iteration": meta.get("iteration", -1),
+            # pages_crawled counts SUCCESSFUL crawls only — the reference's
+            # budget semantics (bfs_strategy.py:172-174 "count only
+            # successful crawls"); robots-403 and 404 rows are result rows
+            # but never consume max_pages
             "pages_crawled": meta.get("pages_crawled", 0),
+            # n_visited counts ALL result rows (the dense visit_order base;
+            # pre-split snapshots carried the combined counter under
+            # pages_crawled, which is the correct fallback for both)
+            "n_visited": meta.get("n_visited", meta.get("pages_crawled", 0)),
             # row counters carried in snapshot meta so the driver loop never
             # runs count() jobs just to decide control flow
             "n_frontier": meta.get("n_frontier"),
@@ -233,21 +256,30 @@ class CrawlRun:
             cached = seeds.dropDuplicates(["url_norm"]).cache()
             n_seeds = cached.count()
             seeds = cached.coalesce(max(1, min(32, n_seeds // 50_000 + 1)))
-        # two independent tables — commit concurrently off the shared cache
+        # two-phase commit off the shared cache: the DATA writes (the Spark
+        # jobs) run concurrently into invisible staging dirs, then the O(1)
+        # manifest commits land seen-first, frontier-LAST — the frontier
+        # replace is the bootstrap's atomic commit point. A crash between
+        # the two leaves the frontier at iteration -1, so a resumed run
+        # simply re-bootstraps (replace is idempotent); the reverse order
+        # would leave a committed frontier over an EMPTY seen set and the
+        # seeds would be re-crawlable as later discoveries.
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(
-                self.t_frontier.replace,
-                seeds,
-                {"iteration": 0, "pages_crawled": 0, "n_frontier": n_seeds,
-                 "n_seen": n_seeds},
-            )
+            f1 = pool.submit(self.t_frontier.stage, seeds)
             f2 = pool.submit(
-                self.t_seen.replace,
+                self.t_seen.stage,
                 seeds.select("url_norm", F.xxhash64("url_norm").alias("url_hash"),
                              "depth", F.lit(0).alias("first_iter")),
             )
-            f1.result()
-            f2.result()
+            frontier_dir = f1.result()
+            seen_dir = f2.result()
+        self.t_seen.commit_staged(seen_dir, {"iteration": -1}, mode="replace")
+        self.t_frontier.commit_staged(
+            frontier_dir,
+            {"iteration": 0, "pages_crawled": 0, "n_visited": 0,
+             "n_frontier": n_seeds, "n_seen": n_seeds},
+            mode="replace",
+        )
         cached.unpersist()
 
     # -- one iteration ---------------------------------------------------------
@@ -260,8 +292,15 @@ class CrawlRun:
         if st["iteration"] < 0:
             self._bootstrap()
             st = self.state()
+        else:
+            # resumed workdir OR in-process retry after a failed commit:
+            # roll back any crashed iteration's orphan commits before
+            # re-running it. Runs every entry — it is 4 driver-side JSON
+            # manifest reads (no Spark job) and a no-op on the clean path.
+            self._reconcile(st["iteration"])
         iteration = st["iteration"]
         pages_crawled = st["pages_crawled"]
+        visit_base = st["n_visited"]
         remaining = cfg.max_pages - pages_crawled
         if remaining <= 0:
             return {"done": True, "reason": "max_pages"}
@@ -444,7 +483,7 @@ class CrawlRun:
             )
         )
         results = results.withColumn("iteration", F.lit(iteration)).withColumn(
-            "visit_order", F.lit(pages_crawled) + F.col("visit_rank")
+            "visit_order", F.lit(visit_base) + F.col("visit_rank")
         ).drop("visit_rank")
         results = results.cache()
         # ONE job yields both the scalar counters and the per-partition
@@ -527,7 +566,13 @@ class CrawlRun:
         bloom = None
         flagged = None
         if seen_df is not None and st["n_seen"] >= cfg.bloom_min_seen:
-            bloom = build_bloom(seen_df, num_bits=cfg.bloom_bits)
+            # the seen table stores url_hash = xxhash64(url_norm) at every
+            # append precisely so this per-iteration build scans 8-byte
+            # longs (one pruned column) instead of re-hashing every seen
+            # url string
+            bloom = build_bloom(
+                seen_df, num_bits=cfg.bloom_bits, hash_col="url_hash"
+            )
             # pre-compute the bloom probe ONCE under a persist: the split
             # inside dedup_against_seen consumes the candidate plan twice,
             # and without this boundary the Arrow probe UDF (plus the
@@ -553,12 +598,19 @@ class CrawlRun:
             flag_col="_maybe_seen" if flagged is not None else None,
         )
 
-        # capacity top-k: if more new URLs than remaining page budget, keep
-        # best by score DESC (O4 semantics), deterministic url tie-break.
-        # Count first so the common under-capacity case skips the rank
-        # entirely; over capacity, the salted two-pass top-k keeps the
-        # global window off the full discovery set (scale fix — the naive
-        # global Window here serialized millions of rows into one task).
+        # capacity top-k: if more new URLs than remaining SUCCESS budget
+        # (reference counts only successful crawls toward max_pages), keep
+        # the best (O4 semantics): score DESC in bfs/dfs — the reference
+        # BFS trim sorts valid_links DESC (bfs_strategy.py:124-130) — and
+        # score ASC in best_first, whose min-heap pops lowest-score-first,
+        # so the trim must keep the rows the queue would pop FIRST (the
+        # reference bff trim slices nondeterministic async arrival order;
+        # queue-priority order is the deterministic stand-in). Deterministic
+        # url tie-break. Count first so the common under-capacity case
+        # skips the rank entirely; over capacity, the salted two-pass top-k
+        # keeps the global window off the full discovery set (scale fix —
+        # the naive global Window here serialized millions of rows into one
+        # task).
         candidates = (
             new_urls.withColumn("host", host_col(F.col("url")))
             .withColumn("discovered_iter", F.lit(iteration + 1))
@@ -577,21 +629,30 @@ class CrawlRun:
             # downstream consumers all read the candidates cache just
             # materialized above; the flagged intermediate is done
             flagged.unpersist()
-        remaining_after = remaining - n_results
+        remaining_after = remaining - n_fetched
+        # seen = ENQUEUED-OR-CONSIDERED set, as in the reference: visited.add
+        # runs BEFORE the capacity slice (bfs_strategy.py:121 vs :124-130),
+        # so capacity-dropped links are permanently seen and never
+        # re-enqueued by a later iteration that re-links them. Only the
+        # exhausted-budget early return (capacity <= 0) skips the adds.
         if remaining_after <= 0:
             new_urls, n_new = candidates.limit(0), 0
+            n_seen_add, seen_src = 0, new_urls
             disc_parts = []
         elif n_candidates > remaining_after:
             new_urls = capacity_topk(
                 candidates, remaining_after, salt=cfg.salt,
                 small_input=n_candidates <= cfg.salt_bypass_rows,
+                ascending=cfg.mode == "best_first",
             ).cache()
             n_new = remaining_after  # row_number ≤ k keeps exactly k rows
+            n_seen_add, seen_src = n_candidates, candidates
             disc_parts = new_urls.groupBy(
                 F.spark_partition_id().alias("partition_id")
             ).agg(F.count(F.lit(1)).alias("emitted")).collect()
         else:
             new_urls, n_new = candidates, n_candidates
+            n_seen_add, seen_src = n_candidates, candidates
         t = _lap("discover_dedup", t)
 
         n_deferred = n_frontier - n_selected
@@ -661,36 +722,35 @@ class CrawlRun:
             )
             next_frontier = deferred.unionByName(new_urls)
 
-        seen_append = new_urls.select(
+        seen_append = seen_src.select(
             "url_norm",
             F.xxhash64("url_norm").alias("url_hash"),
             "depth",
             F.lit(iteration + 1).alias("first_iter"),
         )
-        # the three Spark writes touch three independent tables (separate
-        # manifests) and read only materialized caches — submit them
-        # concurrently so the commit wall time is the slowest write, not
-        # the sum. (On a cluster these are three Iceberg commits — equally
-        # independent.)
+        # two-phase commit across independent tables (separate manifests):
+        # the Spark DATA writes run concurrently into invisible staging
+        # dirs (commit wall time = slowest write, not the sum), then the
+        # O(1) manifest commits land in a fixed order — every
+        # iteration-tagged table first, the frontier replace (carrying
+        # iteration+1) LAST as the atomic commit point. A crash anywhere
+        # before the frontier commit leaves the frontier at iteration N;
+        # the resume reconciliation (``_reconcile``) rolls back any
+        # trailing snapshot tagged >= N before re-running it, so the
+        # deterministic re-execution cannot double-append results or
+        # lineage. (On a cluster: Iceberg stage-commit per table with the
+        # frontier commit as the WAL tip, same protocol.)
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(
-                    self.t_results.append,
-                    results.coalesce(_parts(n_results)),
-                    {"iteration": iteration},
+                    self.t_results.stage, results.coalesce(_parts(n_results))
                 ),
                 pool.submit(
-                    self.t_seen.append, seen_append.coalesce(_parts(n_new))
+                    self.t_seen.stage, seen_append.coalesce(_parts(n_seen_add))
                 ),
                 pool.submit(
-                    self.t_frontier.replace,
+                    self.t_frontier.stage,
                     next_frontier.coalesce(_parts(n_deferred + n_new)),
-                    {
-                        "iteration": iteration + 1,
-                        "pages_crawled": pages_crawled + n_results,
-                        "n_frontier": n_deferred + n_new,
-                        "n_seen": st["n_seen"] + n_new,
-                    },
                 ),
             ]
             if new_state is not None:
@@ -699,13 +759,28 @@ class CrawlRun:
                 # other writes instead of a fixed single-task coalesce
                 futs.append(
                     pool.submit(
-                        self.t_host_state.replace,
+                        self.t_host_state.stage,
                         new_state.coalesce(_parts(st["n_seen"] + n_results)),
-                        {"iteration": iteration},
                     )
                 )
-            for f in futs:
-                f.result()
+            staged = [f.result() for f in futs]
+        self.t_results.commit_staged(staged[0], {"iteration": iteration})
+        self.t_seen.commit_staged(staged[1], {"iteration": iteration})
+        if new_state is not None:
+            self.t_host_state.commit_staged(
+                staged[3], {"iteration": iteration}, mode="replace"
+            )
+        self.t_frontier.commit_staged(
+            staged[2],
+            {
+                "iteration": iteration + 1,
+                "pages_crawled": pages_crawled + n_fetched,
+                "n_visited": visit_base + n_results,
+                "n_frontier": n_deferred + n_new,
+                "n_seen": st["n_seen"] + n_seen_add,
+            },
+            mode="replace",
+        )
         t = _lap("commit", t)
 
         for df in (selected, gated, results, candidates, new_urls):
@@ -720,7 +795,7 @@ class CrawlRun:
             "fetched": n_fetched,
             "robots_blocked": n_blocked,
             "new_urls": n_new,
-            "pages_crawled": pages_crawled + n_results,
+            "pages_crawled": pages_crawled + n_fetched,
             "seconds": time.time() - t0,
             "profile": prof,
         }

@@ -89,6 +89,51 @@ class SnapshotTable:
     def replace(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(self._read_manifest(), [self._write_data(df)], meta)
 
+    def stage(self, df: DataFrame) -> str:
+        """Phase 1 of a two-phase commit: run the (expensive) Spark data
+        write into an invisible ``.staging-*`` dir and return its name.
+        Publish later with ``commit_staged`` — until then no reader (or
+        crash-resumed run) can observe the rows. Lets a multi-table commit
+        stage all data writes concurrently, then order the O(1) manifest
+        commits so one designated table is the atomic commit point."""
+        return self._write_data(df)
+
+    def commit_staged(
+        self, staged: str, meta: dict | None = None, mode: str = "append"
+    ) -> int:
+        """Phase 2: publish a ``stage``d dir as a snapshot commit."""
+        if mode not in ("append", "replace"):
+            raise ValueError(f"unknown commit mode: {mode}")
+        m = self._read_manifest()
+        dirs: list[str] = []
+        if mode == "append" and m["current"] is not None:
+            dirs = list(
+                next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
+            )
+        return self._commit(m, dirs + [staged], meta)
+
+    def rollback_trailing(self, pred) -> int:
+        """Crash reconciliation (the Iceberg analog is
+        rollback_to_snapshot): pop trailing snapshots while ``pred(meta)``
+        is true, then sweep the data dirs no surviving snapshot references.
+        The crawl loop commits every per-iteration table with
+        ``meta={'iteration': N}`` BEFORE the frontier's replace (the
+        iteration's atomic commit point, carrying N+1) — so on resume any
+        trailing snapshot tagged >= the frontier's iteration is an orphan
+        of a crashed iteration and is rolled back before re-running it,
+        instead of double-appending its rows. Returns the number popped."""
+        m = self._read_manifest()
+        snaps = m["snapshots"]
+        popped = 0
+        while snaps and pred(snaps[-1].get("meta") or {}):
+            snaps.pop()
+            popped += 1
+        if popped:
+            m["current"] = snaps[-1]["id"] if snaps else None
+            self._commit_manifest(m)
+            self._sweep_orphans(keep=set())
+        return popped
+
     def append_rows(self, table, meta: dict | None = None) -> int:
         """Append driver-resident rows (a ``pyarrow.Table``) WITHOUT a Spark
         job — for tiny metadata tables whose rows were already collected on
@@ -273,10 +318,22 @@ class SnapshotTable:
         cur_dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == cur)
         old_dirs: list[str] = []
         if after_snapshot_id is not None:
-            old_dirs = next(
+            old_dirs_opt = next(
                 (s["dirs"] for s in m["snapshots"] if s["id"] == after_snapshot_id),
-                [],
+                None,
             )
+            if old_dirs_opt is None:
+                # an unknown cursor means the table was rebuilt (fresh
+                # manifest) while the caller kept an old snapshot id — an
+                # empty-prefix fallback here would silently re-deliver the
+                # WHOLE table, the exact double-read the replace guard
+                # below exists to prevent
+                raise ValueError(
+                    f"snapshot {after_snapshot_id} not found in {self.root}: "
+                    "the table was rebuilt under this cursor — reset the "
+                    "cursor and re-read"
+                )
+            old_dirs = old_dirs_opt
         if not set(old_dirs) <= set(cur_dirs):
             raise ValueError(
                 f"snapshot {after_snapshot_id} is not a prefix of {cur} in "

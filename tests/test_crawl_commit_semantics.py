@@ -1,0 +1,157 @@
+"""Round-5 semantics fixes: success-only page budget (reference
+bfs_strategy.py:172-174), seen-before-capacity-slice (bfs_strategy.py:121
+vs :124-130), best-first capacity trim direction, the two-phase commit
+protocol with resume reconciliation, read_since cursor validation, and the
+bloom hash_col fast path.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
+
+
+def test_budget_counts_only_successes(spark, pages):
+    """max_pages consumes only success=True rows; robots-403 rows are
+    results but never budget. visit_order stays dense over ALL rows."""
+    wd = tempfile.mkdtemp(prefix="budget_")
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3), wd,
+        CrawlConfig(mode="bfs", max_pages=25, max_depth=4, host_budget=100000,
+                    include_external=True),
+    )
+    # per-iteration: the budget counter advances by FETCHED (successes),
+    # never by the full result count (reference bfs_strategy.py:172-174)
+    before = 0
+    for _ in range(8):
+        s = run.run_iteration()
+        if s.get("done"):
+            break
+        assert s["pages_crawled"] == before + s["fetched"]
+        assert s["selected"] >= s["fetched"]
+        before = s["pages_crawled"]
+    res = run.results()
+    n_success = res.filter("success").count()
+    n_all = res.count()
+    assert n_all > n_success  # the corpus graph produces 403s
+    meta = run.t_frontier.snapshot_meta()
+    assert meta["pages_crawled"] == n_success
+    assert meta["n_visited"] == n_all
+    # success budget is respected, and the blocked rows did NOT consume it:
+    # total visits exceed what an all-rows budget would ever have crawled
+    # (the reference, too, may finish under max_pages when capacity-trimmed
+    # links later 403 — remaining_capacity assumes trimmed links succeed)
+    assert n_success <= 25
+    assert n_all > n_success >= 20
+    # visit_order is dense and unique over all result rows
+    orders = [r[0] for r in res.select("visit_order").collect()]
+    assert sorted(orders) == list(range(1, n_all + 1))
+
+
+def test_seen_includes_capacity_dropped(spark, pages):
+    """Capacity-trimmed discoveries still enter the seen set (the
+    reference's visited.add runs before the trim), so a later iteration
+    can never re-enqueue them; the frontier gets only the kept rows."""
+    wd = tempfile.mkdtemp(prefix="captrim_")
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3), wd,
+        CrawlConfig(mode="bfs", max_pages=5, max_depth=4, host_budget=100000,
+                    include_external=True),
+    )
+    s0 = run.run_iteration()
+    meta = run.t_frontier.snapshot_meta()
+    seen_growth = meta["n_seen"] - 3  # 3 seeds bootstrap the seen set
+    assert seen_growth > s0["new_urls"], "expected a capacity trim"
+    # the dropped candidates are in seen but not in the frontier
+    seen_new = run.seen().filter("first_iter = 1").count()
+    assert seen_new == seen_growth
+    assert meta["n_frontier"] == s0["new_urls"]
+    # seen keys stay unique (the anti-join contract) even with the trim
+    seen = run.seen()
+    assert seen.count() == seen.select("url_norm").distinct().count()
+
+
+def test_capacity_topk_ascending_keeps_lowest(spark):
+    from crawl4ai_spark.operators.ranking import capacity_topk
+
+    df = spark.createDataFrame(
+        [(f"u{i:02d}", float(i)) for i in range(20)], "url string, score double"
+    )
+    hi = {r.url for r in capacity_topk(df, 5, small_input=True).collect()}
+    lo = {r.url for r in
+          capacity_topk(df, 5, small_input=True, ascending=True).collect()}
+    assert hi == {f"u{i:02d}" for i in range(15, 20)}
+    assert lo == {f"u{i:02d}" for i in range(5)}
+
+
+def test_resume_reconciles_crashed_iteration(spark, pages):
+    """Orphan commits from an iteration that crashed before the frontier
+    replace are rolled back on resume instead of double-appending."""
+    wd = tempfile.mkdtemp(prefix="reconcile_")
+    cfg = CrawlConfig(mode="bfs", max_pages=100000, max_depth=3,
+                      host_budget=100000, include_external=True)
+    run = CrawlRun(spark, pages, build_robots(spark), build_seeds(spark, 3),
+                   wd, cfg)
+    run.run_iteration()
+    n0 = run.results().count()
+    # simulate iteration 1 crashing after its results/lineage commits but
+    # before the frontier commit point: orphan appends tagged iteration=1
+    # while the frontier meta still says iteration 1 is next
+    run.t_results.append(run.results(), {"iteration": 1})
+    run.t_lineage.append(run.lineage(), {"iteration": 1})
+    assert run.results().count() == 2 * n0
+    # a fresh CrawlRun over the same workdir reconciles, then re-runs
+    run2 = CrawlRun(spark, pages, build_robots(spark), build_seeds(spark, 3),
+                    wd, cfg)
+    run2.run_iteration()
+    res = run2.results()
+    # the orphan rows are gone: iteration 0 appears exactly once
+    assert res.filter("iteration = 0").count() == n0
+    dup = res.groupBy("visit_order").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_read_since_unknown_cursor_raises(spark, tmp_path):
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(5).toDF("id")
+    t.append(df)
+    cur, delta = t.read_since(spark, None)
+    assert delta.count() == 5
+    with pytest.raises(ValueError, match="not found"):
+        t.read_since(spark, cur + 999)
+
+
+def test_build_bloom_hash_col_matches_string_path(spark):
+    from crawl4ai_spark.operators.seen import build_bloom
+
+    df = spark.createDataFrame(
+        [(f"https://h{i}.example/p/{i}",) for i in range(500)], "url_norm string"
+    ).withColumn("url_hash", F.xxhash64("url_norm"))
+    a = build_bloom(df, num_bits=1 << 16)
+    b = build_bloom(df, num_bits=1 << 16, hash_col="url_hash")
+    assert a.bits.tobytes() == b.bits.tobytes()
+
+
+def test_linkage_tolerates_ragged_vectors(spark):
+    """A truncated/null embedding must not kill the clustering job."""
+    from crawl4ai_spark.datapipe.similarity import cosine_cluster_linkage
+
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.5]),
+            (4, None), (5, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    planes = [[1.0, 0.2, -0.3], [-0.4, 1.0, 0.1], [0.2, -0.5, 1.0]]
+    out = cosine_cluster_linkage(
+        df, planes, id_col="id", vec_col="vec", max_dist=0.05,
+        linkage_method="average",
+    ).collect()
+    labels = {r.vec_id: r.cluster_label for r in out}
+    assert len(labels) == 5
+    assert labels[1] == labels[2]  # identical vectors still cluster
+    assert labels[5] != labels[1]
