@@ -51,13 +51,12 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
 
     def _write_data(self, df: DataFrame) -> str:
-        """Write to a STAGING dir (dot-prefixed: invisible to Spark readers
-        and to ``stream()``'s ``data-*`` glob); ``_commit`` renames it to
-        its ``data-*`` name just before the manifest commit. A writer that
-        crashes mid-job therefore leaves only a ``.staging-*`` dir no
-        reader can observe — without this, ``stream()`` would deliver the
-        crashed (uncommitted) write and a resumed run's re-append would
-        double its rows downstream."""
+        """Write to a STAGING dir (dot-prefixed: invisible to Spark
+        readers); ``_commit`` renames it to its ``data-*`` name just
+        before the manifest commit. A writer that crashes mid-job
+        therefore leaves only a ``.staging-*`` dir no reader can observe —
+        without this, a resumed run's re-append would double its rows
+        downstream."""
         name = ".staging-" + uuid.uuid4().hex
         path = os.path.join(self.root, name)
         df.write.mode("overwrite").parquet(path)
@@ -132,6 +131,7 @@ class SnapshotTable:
             m["current"] = snaps[-1]["id"] if snaps else None
             self._commit_manifest(m)
             self._sweep_orphans(keep=set())
+            self._sync_stream_dir()  # drop links of rolled-back dirs
         return popped
 
     def append_rows(self, table, meta: dict | None = None) -> int:
@@ -163,9 +163,9 @@ class SnapshotTable:
         time-travel readers keep old dirs live) nor in ``keep`` (the commit
         in flight) is unreachable garbage under this table's serial-writer
         contract (concurrent commits in the crawl loop always target
-        DIFFERENT tables), so it is deleted. Without the sweep an orphan
-        data-* dir would sit in stream()'s glob forever and deliver
-        uncommitted rows.
+        DIFFERENT tables), so it is deleted. (stream() no longer reads the
+        data-* glob — its mirror is manifest-driven — so the sweep is disk
+        hygiene and batch-glob cleanliness, not stream correctness.)
 
         ``min_age_s``: on the COMMIT path the sweep is unconditional
         (min_age_s=0) — the serial-writer contract means the committing
@@ -237,7 +237,68 @@ class SnapshotTable:
         manifest["snapshots"].append({"id": sid, "dirs": published, "meta": meta or {}})
         manifest["current"] = sid
         self._commit_manifest(manifest)
+        # AFTER the manifest commit: publish to any live stream() mirror —
+        # ordering means the mirror only ever holds manifest-committed
+        # files (a crash right here delays delivery until the next commit
+        # repairs the mirror; it can never deliver uncommitted rows)
+        self._sync_stream_dir()
         return sid
+
+    @property
+    def _stream_path(self) -> str:
+        return os.path.join(self.root, "stream")
+
+    def _sync_stream_dir(self, create: bool = False) -> None:
+        """Reconcile the ``stream/`` mirror with the manifest: hardlink
+        every parquet file of the CURRENT snapshot's dirs in (named
+        ``<dir>__<file>`` — unique and stable, so the file-source
+        checkpoint never re-delivers), and drop links whose source dir no
+        snapshot references any more (rollback_trailing). The mirror is
+        created lazily by ``stream()``; until then commits skip the sync
+        (``create=False`` no-ops), so tables nobody tails pay nothing.
+
+        This is what makes ``stream()`` MANIFEST-DRIVEN: the streaming
+        file source globs the mirror, and the mirror is only ever written
+        AFTER a manifest commit, from the manifest's own dir list. Crash
+        debris — published-but-uncommitted ``data-*`` dirs, orphan
+        ``.staging-*`` dirs — can therefore never reach a stream, closing
+        the window a raw ``data-*`` glob source had. Hardlinks keep the
+        mirror O(1) in size and alive even across a sweep of its source
+        dir (the inode survives until the link is pruned)."""
+        sd = self._stream_path
+        if not os.path.isdir(sd):
+            if not create:
+                return
+            os.makedirs(sd, exist_ok=True)
+        m = self._read_manifest()
+        cur = m["current"]
+        dirs: list[str] = []
+        if cur is not None:
+            dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == cur)
+        referenced: set[str] = set()
+        for s in m["snapshots"]:
+            referenced.update(s["dirs"])
+        for d in dirs:
+            src_dir = os.path.join(self.root, d)
+            try:
+                names = os.listdir(src_dir)
+            except OSError:
+                continue  # dir vanished (concurrent rollback) — next sync heals
+            for fn in names:
+                if not fn.endswith(".parquet"):
+                    continue
+                link = os.path.join(sd, f"{d}__{fn}")
+                if not os.path.exists(link):
+                    try:
+                        os.link(os.path.join(src_dir, fn), link)
+                    except FileExistsError:
+                        pass
+        for fn in os.listdir(sd):
+            if fn.split("__", 1)[0] not in referenced:
+                try:
+                    os.remove(os.path.join(sd, fn))
+                except OSError:
+                    pass
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
         m = self._read_manifest()
@@ -265,19 +326,22 @@ class SnapshotTable:
         Pair with ``.trigger(availableNow=True)`` for catch-up batches or
         a processing-time trigger to tail a live crawl.
 
-        The glob sees every PUBLISHED data dir, so the append-only contract
-        is enforced here (a table that ever saw ``replace()`` would re-emit
-        dropped dirs): any snapshot whose dir set is not a superset of its
-        predecessor's raises. Uncommitted writes never match the glob —
-        they live in ``.staging-*`` until the commit publishes them (see
-        ``_write_data``) — and data-* debris from a writer that crashed
-        between its publish rename and its manifest commit is swept
-        unconditionally on every commit, and here with a 300 s age cutoff
-        (a reader can't distinguish fresh debris from a live writer's
-        not-yet-committed publish). Residual window, stated honestly: a
-        stream created within 300 s of such a crash AND before any
-        subsequent commit on this table can deliver the crashed writer's
-        published-but-uncommitted rows; the next commit erases them."""
+        The source is MANIFEST-DRIVEN: it globs the ``stream/`` mirror,
+        which ``_sync_stream_dir`` populates with hardlinks to the current
+        snapshot's files — written only AFTER each manifest commit, from
+        the manifest's own dir list. Crash debris (published-but-
+        uncommitted ``data-*`` dirs, orphan ``.staging-*`` dirs) therefore
+        can never reach a stream, with no age heuristics: a writer that
+        crashes between its manifest commit and the mirror sync merely
+        DELAYS that commit's delivery until the next commit (or the next
+        ``stream()`` call) repairs the mirror — committed-but-late, never
+        uncommitted-but-delivered. The append-only contract is enforced
+        (a table that ever saw ``replace()`` would re-emit dropped dirs):
+        any snapshot whose dir set is not a superset of its predecessor's
+        raises. The sweep below GCs crash debris on the read path too
+        (300 s age cutoff — a reader can't distinguish fresh debris from
+        a live writer's not-yet-committed publish); it is pure hygiene
+        now, not correctness."""
         self._sweep_orphans(keep=set(), min_age_s=300.0)
         current = self.read(spark)
         if current is None:
@@ -290,10 +354,8 @@ class SnapshotTable:
                     f"dirs of snapshot {prev['id']} (a replace() happened) — "
                     "stream() only tails append-only tables"
                 )
-        return (
-            spark.readStream.schema(current.schema)
-            .parquet(os.path.join(self.root, "data-*"))
-        )
+        self._sync_stream_dir(create=True)
+        return spark.readStream.schema(current.schema).parquet(self._stream_path)
 
     def read_since(
         self, spark: SparkSession, after_snapshot_id: int | None

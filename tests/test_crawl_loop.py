@@ -391,6 +391,50 @@ def test_pages_unique_fanout_raises_before_lineage_commit(spark, pages):
     assert lineage is None or lineage.count() == 0
 
 
+def test_stream_mirror_is_manifest_driven(spark, tmp_path):
+    """stream() reads a hardlink mirror written only AFTER manifest
+    commits, so even FRESH crash debris — a data-* dir whose writer died
+    between the publish rename and the manifest commit, seconds ago —
+    can never be delivered (the old data-* glob source had a documented
+    300 s residual window here). Writer-side commits keep the mirror in
+    sync without another stream() call, and rollback_trailing prunes the
+    rolled-back dirs' links."""
+    import glob as _glob
+    import os
+
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(5).withColumnRenamed("id", "v")
+    t.append(df, {"iteration": 0})
+
+    # publish-rename crash, NOT backdated: fresh debris the age-gated
+    # sweep must spare but the stream must still never deliver
+    staged = t._write_data(spark.range(100, 103).withColumnRenamed("id", "v"))
+    orphan = "data-" + staged[len(".staging-"):]
+    os.replace(os.path.join(t.root, staged), os.path.join(t.root, orphan))
+
+    src = t.stream(spark)
+    mirror = os.path.join(t.root, "stream")
+    assert os.path.isdir(mirror)
+    # the mirror holds exactly the committed snapshot's files
+    assert spark.read.schema(src.schema).parquet(mirror).count() == 5
+    assert all(f.startswith("data-") for f in os.listdir(mirror))
+    assert not any(f.startswith(orphan) for f in os.listdir(mirror))
+    assert os.path.exists(os.path.join(t.root, orphan))  # debris spared (young)
+
+    # a writer-side commit syncs the live mirror with NO further stream()
+    t.append(spark.range(10, 14).withColumnRenamed("id", "v"), {"iteration": 1})
+    assert spark.read.schema(src.schema).parquet(mirror).count() == 9
+
+    # rollback prunes the rolled-back iteration's links from the mirror
+    t.rollback_trailing(lambda m: m.get("iteration", -1) >= 1)
+    assert spark.read.schema(src.schema).parquet(mirror).count() == 5
+    surviving = set(t.snapshots()[-1]["dirs"])
+    assert {f.split("__", 1)[0] for f in os.listdir(mirror)} <= surviving
+    assert _glob.glob(os.path.join(mirror, "*.parquet"))  # mirror non-empty
+
+
 def test_stream_never_sees_uncommitted_or_replaced_data(spark, tmp_path):
     """A writer that crashes between the parquet write and the manifest
     commit must leave nothing a stream can deliver (writes are staged in
