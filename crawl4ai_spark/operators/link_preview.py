@@ -47,6 +47,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawl4ai_spark.operators.capture import latest_capture
+from crawl4ai_spark.operators.filters import (
+    head_meta_get,
+    head_meta_tags_col,
+    head_title_col,
+)
+
 # rank_bm25.BM25Okapi defaults (the reference passes none)
 BM25_K1 = 1.5
 BM25_B = 0.75
@@ -81,12 +88,6 @@ def head_text_context_col(head: Column) -> Column:
     parts joined with single spaces. Meta parsing is HeadPeekr's — shared
     with F5 via filters.head_meta_tags_col/head_meta_get, so the regex
     surface has exactly one spelling."""
-    from crawl4ai_spark.operators.filters import (
-        head_meta_get,
-        head_meta_tags_col,
-        head_title_col,
-    )
-
     title = head_title_col(head)
     metas = head_meta_tags_col(head)
     parts = [title] + [head_meta_get(metas, k) for k in _CONTEXT_META_KEYS]
@@ -233,17 +234,9 @@ def link_preview_scores(
     # emit duplicate (src_url, href) output rows AND double-count that
     # head in the per-page BM25 corpus (shifting df/idf and min-max for
     # every link on the page). Collapse to ONE deterministic capture per
-    # href — latest warc_ts when the column exists, lexicographic max
-    # head otherwise (the crawl loop's fetch join makes the same
-    # collapse, plans/crawl.py step 3). The aggregate keys on href, the
-    # exact key the join exchanges on, so map-side partial agg collapses
-    # duplicates before the shuffle the join needed anyway.
-    if "warc_ts" in pages.columns:
-        heads = heads.groupBy("href").agg(
-            F.max(F.struct("warc_ts", "_head"))["_head"].alias("_head")
-        )
-    else:
-        heads = heads.groupBy("href").agg(F.max("_head").alias("_head"))
+    # href — the SAME ``latest_capture`` collapse (and tie-break) the
+    # crawl loop's fetch join uses (plans/crawl.py step 3).
+    heads = latest_capture(heads, "href").select("href", "_head")
     fetched = flagged.join(heads, "href", "left")
     fetched = fetched.withColumn(
         "head_status",

@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.urlnorm import normalize_deep_udf
 from crawl4ai_spark.functions.urls import host_col, url_valid_col
+from crawl4ai_spark.operators.capture import latest_capture
 from crawl4ai_spark.operators.politeness import host_budget_rank, merge_host_state
 from crawl4ai_spark.operators.ranking import capacity_topk, priority_rank
 from crawl4ai_spark.operators.robots import apply_robots_gate
@@ -160,6 +161,12 @@ class CrawlRun:
             t.rollback_trailing(
                 lambda m: m.get("iteration", -(10**9)) >= next_iteration
             )
+            # everything that survived reconciliation is consistent with
+            # the frontier WAL tip, hence durable: advance the stream
+            # barrier so a crash AFTER the frontier commit but BEFORE the
+            # previous iteration's mark_durable calls cannot strand its
+            # rows undelivered (no-op when the barrier is already current)
+            t.mark_durable()
 
     def _destroy_bloom_bc(self) -> None:
         if self._bloom_bc is not None:
@@ -273,13 +280,16 @@ class CrawlRun:
             )
             frontier_dir = f1.result()
             seen_dir = f2.result()
-        self.t_seen.commit_staged(seen_dir, {"iteration": -1}, mode="replace")
+        self.t_seen.commit_staged(
+            seen_dir, {"iteration": -1}, mode="replace", durable=False
+        )
         self.t_frontier.commit_staged(
             frontier_dir,
             {"iteration": 0, "pages_crawled": 0, "n_visited": 0,
              "n_frontier": n_seeds, "n_seen": n_seeds},
             mode="replace",
         )
+        self.t_seen.mark_durable()
         cached.unpersist()
 
     # -- one iteration ---------------------------------------------------------
@@ -424,13 +434,7 @@ class CrawlRun:
         #    ``pages_unique=True`` skips the aggregate when the caller
         #    guarantees one capture per url.
         if not cfg.pages_unique:
-            pcols = [c for c in relevant.columns if c != "url"]
-            ordered = [c for c in pcols if c == "warc_ts"] + [
-                c for c in pcols if c != "warc_ts"
-            ]
-            relevant = relevant.groupBy("url").agg(
-                F.max(F.struct(*ordered)).alias("_cap")
-            ).select("url", *[F.col(f"_cap.{c}").alias(c) for c in pcols])
+            relevant = latest_capture(relevant, "url")
         fetched = allowed.join(relevant, on="url", how="left")
         # the broadcast-join output keeps the pages table's partitioning, so
         # the extract UDF is already wide; an explicit repartition (a full
@@ -699,7 +703,9 @@ class CrawlRun:
                 "t_end": pa.array([t_now] * len(lineage_rows), pa.float64()),
             }
         )
-        self.t_lineage.append_rows(lineage_tbl, {"iteration": iteration})
+        self.t_lineage.append_rows(
+            lineage_tbl, {"iteration": iteration}, durable=False
+        )
 
         # coalesce small snapshot appends: a snapshot read at iteration k
         # unions k data dirs, so file count per dir must track data size,
@@ -764,11 +770,13 @@ class CrawlRun:
                     )
                 )
             staged = [f.result() for f in futs]
-        self.t_results.commit_staged(staged[0], {"iteration": iteration})
-        self.t_seen.commit_staged(staged[1], {"iteration": iteration})
+        self.t_results.commit_staged(
+            staged[0], {"iteration": iteration}, durable=False
+        )
+        self.t_seen.commit_staged(staged[1], {"iteration": iteration}, durable=False)
         if new_state is not None:
             self.t_host_state.commit_staged(
-                staged[3], {"iteration": iteration}, mode="replace"
+                staged[3], {"iteration": iteration}, mode="replace", durable=False
             )
         self.t_frontier.commit_staged(
             staged[2],
@@ -781,6 +789,12 @@ class CrawlRun:
             },
             mode="replace",
         )
+        # the frontier commit is the WAL tip: the iteration is now durable
+        # (reconciliation can no longer roll it back), so advance each
+        # table's stream barrier — a stream() mirror delivers an
+        # iteration's rows exactly when it can never be re-delivered
+        for tbl in (self.t_results, self.t_seen, self.t_lineage, self.t_host_state):
+            tbl.mark_durable()
         t = _lap("commit", t)
 
         for df in (selected, gated, results, candidates, new_urls):

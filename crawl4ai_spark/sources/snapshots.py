@@ -78,12 +78,14 @@ class SnapshotTable:
     def snapshots(self) -> list[dict]:
         return self._read_manifest()["snapshots"]
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+    def append(
+        self, df: DataFrame, meta: dict | None = None, durable: bool = True
+    ) -> int:
         m = self._read_manifest()
         dirs = []
         if m["current"] is not None:
             dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
-        return self._commit(m, list(dirs) + [self._write_data(df)], meta)
+        return self._commit(m, list(dirs) + [self._write_data(df)], meta, durable)
 
     def replace(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(self._read_manifest(), [self._write_data(df)], meta)
@@ -98,9 +100,24 @@ class SnapshotTable:
         return self._write_data(df)
 
     def commit_staged(
-        self, staged: str, meta: dict | None = None, mode: str = "append"
+        self,
+        staged: str,
+        meta: dict | None = None,
+        mode: str = "append",
+        durable: bool = True,
     ) -> int:
-        """Phase 2: publish a ``stage``d dir as a snapshot commit."""
+        """Phase 2: publish a ``stage``d dir as a snapshot commit.
+
+        ``durable=False`` marks the commit as PROVISIONAL for streaming
+        delivery: it is immediately visible to batch readers (``read``,
+        ``read_since``), but the ``stream()`` mirror will not deliver its
+        files until ``mark_durable()`` advances the stream barrier past
+        it. The crawl loop commits per-iteration tables non-durable and
+        advances the barrier only after the frontier commit (the WAL tip)
+        lands — a commit that crash reconciliation can still roll back
+        must never reach a checkpointed stream, because its deterministic
+        re-execution would land under NEW file names and the stream would
+        deliver the same rows twice."""
         if mode not in ("append", "replace"):
             raise ValueError(f"unknown commit mode: {mode}")
         m = self._read_manifest()
@@ -109,7 +126,7 @@ class SnapshotTable:
             dirs = list(
                 next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
             )
-        return self._commit(m, dirs + [staged], meta)
+        return self._commit(m, dirs + [staged], meta, durable)
 
     def rollback_trailing(self, pred) -> int:
         """Crash reconciliation (the Iceberg analog is
@@ -129,12 +146,38 @@ class SnapshotTable:
             popped += 1
         if popped:
             m["current"] = snaps[-1]["id"] if snaps else None
+            # the barrier can never legally point past the new tip: under
+            # the crawl protocol only non-durable snapshots are rolled
+            # back, but clamp defensively so a barrier left dangling by a
+            # protocol bug degrades to "deliver the durable tip", never to
+            # a KeyError or a stale dir list
+            if m.get("stream_barrier") is not None and (
+                m["current"] is None or m["stream_barrier"] > m["current"]
+            ):
+                m["stream_barrier"] = m["current"]
             self._commit_manifest(m)
             self._sweep_orphans(keep=set())
-            self._sync_stream_dir()  # drop links of rolled-back dirs
+            self._sync_stream_dir(full=True)  # drop links of rolled-back dirs
         return popped
 
-    def append_rows(self, table, meta: dict | None = None) -> int:
+    def mark_durable(self) -> None:
+        """Advance the stream barrier to the current snapshot, making
+        every commit up to it deliverable to ``stream()`` mirrors. The
+        crawl loop calls this AFTER the frontier commit (the iteration's
+        atomic commit point) lands and from resume reconciliation — at
+        both points everything at or below the current snapshot is
+        guaranteed to survive any future ``rollback_trailing``, so the
+        mirror's no-re-delivery contract holds."""
+        m = self._read_manifest()
+        bar = m["stream_barrier"] if "stream_barrier" in m else m["current"]
+        if bar != m["current"]:
+            m["stream_barrier"] = m["current"]
+            self._commit_manifest(m)
+        self._sync_stream_dir()
+
+    def append_rows(
+        self, table, meta: dict | None = None, durable: bool = True
+    ) -> int:
         """Append driver-resident rows (a ``pyarrow.Table``) WITHOUT a Spark
         job — for tiny metadata tables whose rows were already collected on
         the driver (e.g. per-partition lineage: ≤ #partitions rows per
@@ -152,7 +195,7 @@ class SnapshotTable:
         dirs = []
         if m["current"] is not None:
             dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
-        return self._commit(m, list(dirs) + [name], meta)
+        return self._commit(m, list(dirs) + [name], meta, durable)
 
     def _sweep_orphans(self, keep: set[str], min_age_s: float = 0.0) -> None:
         """Garbage-collect crash debris (the Iceberg analog is
@@ -216,7 +259,13 @@ class SnapshotTable:
                     newest = mt
         return newest
 
-    def _commit(self, manifest: dict, dirs: list[str], meta: dict | None) -> int:
+    def _commit(
+        self,
+        manifest: dict,
+        dirs: list[str],
+        meta: dict | None,
+        durable: bool = True,
+    ) -> int:
         # publish staged dirs: rename .staging-<hex> -> data-<hex> (atomic
         # on POSIX) immediately before the manifest commit. The window in
         # which an uncommitted data-* dir can exist (and pollute stream()'s
@@ -233,9 +282,16 @@ class SnapshotTable:
                 os.replace(os.path.join(self.root, d), os.path.join(self.root, new))
                 d = new
             published.append(d)
-        sid = (manifest["current"] or 0) + 1
+        prev = manifest["current"]
+        sid = (prev or 0) + 1
         manifest["snapshots"].append({"id": sid, "dirs": published, "meta": meta or {}})
         manifest["current"] = sid
+        if durable:
+            manifest["stream_barrier"] = sid
+        elif "stream_barrier" not in manifest:
+            # first non-durable commit on a legacy/fresh manifest: pin the
+            # barrier at the previous tip so the mirror holds there
+            manifest["stream_barrier"] = prev
         self._commit_manifest(manifest)
         # AFTER the manifest commit: publish to any live stream() mirror —
         # ordering means the mirror only ever holds manifest-committed
@@ -248,57 +304,123 @@ class SnapshotTable:
     def _stream_path(self) -> str:
         return os.path.join(self.root, "stream")
 
-    def _sync_stream_dir(self, create: bool = False) -> None:
+    def _barrier_target(self, m: dict) -> tuple[int | None, list[str]]:
+        """Resolve the snapshot the stream mirror should deliver up to:
+        the persisted ``stream_barrier`` (absent → the current snapshot,
+        the legacy all-commits-durable behavior), clamped to the current
+        tip. Returns ``(snapshot_id, dirs)``."""
+        cur = m["current"]
+        sid = m["stream_barrier"] if "stream_barrier" in m else cur
+        if sid is None or cur is None:
+            return None, []
+        sid = min(sid, cur)
+        dirs = next((s["dirs"] for s in m["snapshots"] if s["id"] == sid), None)
+        if dirs is None:  # barrier snapshot vanished — degrade to the tip
+            sid = cur
+            dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == cur)
+        return sid, list(dirs)
+
+    @staticmethod
+    def _link_or_copy(src: str, dst: str) -> None:
+        if os.path.exists(dst):
+            return  # idempotent re-sync after a crash mid-link-phase
+        try:
+            os.link(src, dst)
+        except FileExistsError:
+            pass
+        except OSError:
+            # filesystem without hardlink support (some NFS/FUSE mounts):
+            # copy via a hidden temp + atomic rename so the stream source
+            # never observes a partially-copied parquet file
+            tmp = os.path.join(
+                os.path.dirname(dst), "." + os.path.basename(dst) + ".tmp"
+            )
+            shutil.copy2(src, tmp)
+            os.replace(tmp, dst)
+
+    def _sync_stream_dir(self, create: bool = False, full: bool = False) -> None:
         """Reconcile the ``stream/`` mirror with the manifest: hardlink
-        every parquet file of the CURRENT snapshot's dirs in (named
+        every parquet file of the BARRIER snapshot's dirs in (named
         ``<dir>__<file>`` — unique and stable, so the file-source
-        checkpoint never re-delivers), and drop links whose source dir no
-        snapshot references any more (rollback_trailing). The mirror is
-        created lazily by ``stream()``; until then commits skip the sync
-        (``create=False`` no-ops), so tables nobody tails pay nothing.
+        checkpoint never re-delivers), and on a ``full`` sync drop links
+        whose source dir no snapshot references any more
+        (rollback_trailing). The mirror is created lazily by ``stream()``;
+        until then commits skip the sync (``create=False`` no-ops), so
+        tables nobody tails pay nothing.
 
         This is what makes ``stream()`` MANIFEST-DRIVEN: the streaming
         file source globs the mirror, and the mirror is only ever written
-        AFTER a manifest commit, from the manifest's own dir list. Crash
-        debris — published-but-uncommitted ``data-*`` dirs, orphan
+        AFTER a manifest commit, from the manifest's own dir list —
+        truncated at the stream barrier, so provisional commits that
+        crash reconciliation could still roll back are never delivered.
+        Crash debris — published-but-uncommitted ``data-*`` dirs, orphan
         ``.staging-*`` dirs — can therefore never reach a stream, closing
         the window a raw ``data-*`` glob source had. Hardlinks keep the
         mirror O(1) in size and alive even across a sweep of its source
-        dir (the inode survives until the link is pruned)."""
+        dir (the inode survives until the link is pruned).
+
+        The sync is INCREMENTAL on the commit path: a ``_synced`` marker
+        (hidden from Spark's file source) records the mirrored dir list,
+        so each commit links only dirs the marker hasn't seen — O(new
+        files), not O(table files), keeping a 10k-iteration crawl's
+        per-commit cost flat. The marker stores DIR NAMES, not a snapshot
+        id: snapshot ids are reused after ``rollback_trailing`` pops them
+        (sid = current + 1), so an id-based marker could alias a popped
+        snapshot onto its replacement in the crash window between the
+        rollback's manifest write and its full sync. A missing/stale
+        marker (first sync, crash between link phase and marker write,
+        rollback) degrades to a full link+prune pass."""
         sd = self._stream_path
         if not os.path.isdir(sd):
             if not create:
                 return
             os.makedirs(sd, exist_ok=True)
+            full = True
         m = self._read_manifest()
-        cur = m["current"]
-        dirs: list[str] = []
-        if cur is not None:
-            dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == cur)
-        referenced: set[str] = set()
-        for s in m["snapshots"]:
-            referenced.update(s["dirs"])
-        for d in dirs:
+        _sid, target_dirs = self._barrier_target(m)
+        marker = os.path.join(sd, "_synced")
+        synced_dirs: list[str] | None = None
+        if not full:
+            try:
+                with open(marker) as f:
+                    mdirs = json.load(f).get("dirs")
+                if isinstance(mdirs, list) and set(mdirs) <= set(target_dirs):
+                    synced_dirs = mdirs
+            except (OSError, ValueError):
+                pass
+            if synced_dirs is None:
+                full = True
+        if full:
+            synced_dirs = []
+            referenced: set[str] = set()
+            for s in m["snapshots"]:
+                referenced.update(s["dirs"])
+            for fn in os.listdir(sd):
+                if fn.startswith((".", "_")):
+                    continue
+                if fn.split("__", 1)[0] not in referenced:
+                    try:
+                        os.remove(os.path.join(sd, fn))
+                    except OSError:
+                        pass
+        done = set(synced_dirs)
+        for d in target_dirs:
+            if d in done:
+                continue
             src_dir = os.path.join(self.root, d)
             try:
                 names = os.listdir(src_dir)
             except OSError:
                 continue  # dir vanished (concurrent rollback) — next sync heals
             for fn in names:
-                if not fn.endswith(".parquet"):
-                    continue
-                link = os.path.join(sd, f"{d}__{fn}")
-                if not os.path.exists(link):
-                    try:
-                        os.link(os.path.join(src_dir, fn), link)
-                    except FileExistsError:
-                        pass
-        for fn in os.listdir(sd):
-            if fn.split("__", 1)[0] not in referenced:
-                try:
-                    os.remove(os.path.join(sd, fn))
-                except OSError:
-                    pass
+                if fn.endswith(".parquet"):
+                    self._link_or_copy(
+                        os.path.join(src_dir, fn), os.path.join(sd, f"{d}__{fn}")
+                    )
+        tmp = marker + "." + uuid.uuid4().hex + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dirs": target_dirs}, f)
+        os.replace(tmp, marker)
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
         m = self._read_manifest()
@@ -327,14 +449,20 @@ class SnapshotTable:
         a processing-time trigger to tail a live crawl.
 
         The source is MANIFEST-DRIVEN: it globs the ``stream/`` mirror,
-        which ``_sync_stream_dir`` populates with hardlinks to the current
-        snapshot's files — written only AFTER each manifest commit, from
-        the manifest's own dir list. Crash debris (published-but-
-        uncommitted ``data-*`` dirs, orphan ``.staging-*`` dirs) therefore
-        can never reach a stream, with no age heuristics: a writer that
-        crashes between its manifest commit and the mirror sync merely
-        DELAYS that commit's delivery until the next commit (or the next
-        ``stream()`` call) repairs the mirror — committed-but-late, never
+        which ``_sync_stream_dir`` populates with hardlinks to the
+        snapshot at the STREAM BARRIER (commits marked ``durable=False``
+        stay invisible until ``mark_durable`` advances the barrier) —
+        written only AFTER each manifest commit, from the manifest's own
+        dir list. Crash debris (published-but-uncommitted ``data-*``
+        dirs, orphan ``.staging-*`` dirs) and provisional commits that
+        crash reconciliation may still roll back (whose deterministic
+        re-execution would re-deliver the same rows under new file names)
+        therefore can never reach a stream, with no age heuristics: a
+        writer that crashes between its manifest commit and the mirror
+        sync merely DELAYS that commit's delivery until the next commit,
+        the next ``mark_durable`` (the crawl loop runs one per resume
+        reconciliation), or the next ``stream()`` call repairs the mirror
+        — committed-but-late, never re-delivered, never
         uncommitted-but-delivered. The append-only contract is enforced
         (a table that ever saw ``replace()`` would re-emit dropped dirs):
         any snapshot whose dir set is not a superset of its predecessor's
@@ -354,7 +482,7 @@ class SnapshotTable:
                     f"dirs of snapshot {prev['id']} (a replace() happened) — "
                     "stream() only tails append-only tables"
                 )
-        self._sync_stream_dir(create=True)
+        self._sync_stream_dir(create=True, full=True)
         return spark.readStream.schema(current.schema).parquet(self._stream_path)
 
     def read_since(

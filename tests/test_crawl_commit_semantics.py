@@ -7,6 +7,7 @@ bloom hash_col fast path.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -126,6 +127,87 @@ def test_read_since_unknown_cursor_raises(spark, tmp_path):
     assert delta.count() == 5
     with pytest.raises(ValueError, match="not found"):
         t.read_since(spark, cur + 999)
+
+
+def _mirror_files(sd: str) -> set[str]:
+    return {f for f in os.listdir(sd) if f.endswith(".parquet")}
+
+
+def test_stream_barrier_holds_provisional_commits(spark, tmp_path):
+    """durable=False commits are visible to batch readers immediately but
+    reach the stream mirror only after mark_durable advances the barrier —
+    so a commit that crash reconciliation can still roll back is never
+    delivered to a checkpointed stream (whose deterministic re-execution
+    would otherwise re-deliver the same rows under new file names)."""
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(3).toDF("id"))  # durable bootstrap
+    t.stream(spark)  # creates the mirror
+    sd = t._stream_path
+    base = _mirror_files(sd)
+    assert base
+    t.append(spark.range(3, 6).toDF("id"), {"iteration": 1}, durable=False)
+    assert t.read(spark).count() == 6  # batch readers see it...
+    assert _mirror_files(sd) == base  # ...the stream mirror does not
+    # crash before the WAL tip: the provisional commit rolls back, then
+    # the iteration re-executes and lands under a NEW data dir name
+    t.rollback_trailing(lambda m: m.get("iteration", -1) >= 1)
+    assert _mirror_files(sd) == base
+    t.append(spark.range(3, 6).toDF("id"), {"iteration": 1}, durable=False)
+    t.mark_durable()  # the frontier commit landed — now deliverable
+    after = _mirror_files(sd)
+    assert after > base
+    # exactly ONE dir beyond the base was ever mirrored: the checkpoint
+    # cannot have consumed a rolled-back twin of these rows
+    assert len({f.split("__", 1)[0] for f in after - base}) == 1
+    rows = sorted(r.id for r in spark.read.parquet(sd).collect())
+    assert rows == [0, 1, 2, 3, 4, 5]
+
+
+def test_stream_mirror_copy_fallback(spark, tmp_path, monkeypatch):
+    """Filesystems without hardlink support (EPERM/EOPNOTSUPP from
+    link(2)) degrade to an atomic copy instead of failing — a raised
+    OSError here would make every commit on a streamed table livelock
+    (commit lands, sync raises, retry reconciles and re-fails)."""
+    from crawl4ai_spark.sources import snapshots as snap
+
+    t = snap.SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(4).toDF("id"))
+
+    def no_link(src, dst, *a, **kw):
+        raise PermissionError("link(2) not supported on this mount")
+
+    monkeypatch.setattr(snap.os, "link", no_link)
+    t.stream(spark)
+    sd = t._stream_path
+    assert _mirror_files(sd)
+    t.append(spark.range(4, 6).toDF("id"))  # commit-path sync also copies
+    assert spark.read.parquet(sd).count() == 6
+
+
+def test_stream_sync_incremental_touches_only_new_dirs(spark, tmp_path, monkeypatch):
+    """The commit-path mirror sync is O(new files): it must listdir only
+    the dirs the _synced marker hasn't seen, not every historical data
+    dir (which would make a 10k-iteration crawl's commits O(n^2))."""
+    from crawl4ai_spark.sources import snapshots as snap
+
+    t = snap.SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(3):
+        t.append(spark.range(i * 2, i * 2 + 2).toDF("id"))
+    t.stream(spark)
+
+    listed: list[str] = []
+    real_listdir = os.listdir
+
+    def spy(path="."):
+        listed.append(os.fspath(path))
+        return real_listdir(path)
+
+    monkeypatch.setattr(snap.os, "listdir", spy)
+    t.append(spark.range(6, 8).toDF("id"))
+    data_dirs_listed = {p for p in listed if "/data-" in p}
+    assert len(data_dirs_listed) == 1  # only the dir this commit added
 
 
 def test_build_bloom_hash_col_matches_string_path(spark):

@@ -417,9 +417,14 @@ def test_stream_mirror_is_manifest_driven(spark, tmp_path):
     src = t.stream(spark)
     mirror = os.path.join(t.root, "stream")
     assert os.path.isdir(mirror)
-    # the mirror holds exactly the committed snapshot's files
+    # the mirror holds exactly the committed snapshot's files (plus the
+    # _synced incremental-sync marker, hidden from Spark's file source)
     assert spark.read.schema(src.schema).parquet(mirror).count() == 5
-    assert all(f.startswith("data-") for f in os.listdir(mirror))
+    assert all(
+        f.startswith("data-")
+        for f in os.listdir(mirror)
+        if not f.startswith(("_", "."))
+    )
     assert not any(f.startswith(orphan) for f in os.listdir(mirror))
     assert os.path.exists(os.path.join(t.root, orphan))  # debris spared (young)
 
@@ -431,7 +436,11 @@ def test_stream_mirror_is_manifest_driven(spark, tmp_path):
     t.rollback_trailing(lambda m: m.get("iteration", -1) >= 1)
     assert spark.read.schema(src.schema).parquet(mirror).count() == 5
     surviving = set(t.snapshots()[-1]["dirs"])
-    assert {f.split("__", 1)[0] for f in os.listdir(mirror)} <= surviving
+    assert {
+        f.split("__", 1)[0]
+        for f in os.listdir(mirror)
+        if not f.startswith(("_", "."))
+    } <= surviving
     assert _glob.glob(os.path.join(mirror, "*.parquet"))  # mirror non-empty
 
 
