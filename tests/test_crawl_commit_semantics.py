@@ -210,6 +210,38 @@ def test_stream_sync_incremental_touches_only_new_dirs(spark, tmp_path, monkeypa
     assert len(data_dirs_listed) == 1  # only the dir this commit added
 
 
+def test_manifest_is_delta_encoded(spark, tmp_path):
+    """Snapshot records store (base, added) deltas, so each data dir name
+    appears ONCE in the manifest no matter how many later snapshots
+    include it — full per-snapshot dir lists would make the manifest
+    O(dirs²) and its per-commit rewrite the dominant driver cost on a
+    10k-iteration crawl. Chain resolution, time travel, and rollback all
+    operate on the resolved lists."""
+    import pyarrow as pa
+
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(8):
+        t.append_rows(pa.table({"id": [i]}), {"iteration": i})
+    raw = open(t._manifest_path).read()
+    dirs = t.snapshot_dirs()
+    assert len(dirs) == 8
+    for d in dirs:
+        assert raw.count(d) == 1  # delta encoding: one mention per dir
+    # every snapshot resolves to the dir-prefix of its commit point
+    for k, s in enumerate(t.snapshots()):
+        assert t.snapshot_dirs(s["id"]) == dirs[: k + 1]
+    assert t.read(spark, snapshot_id=3).count() == 3  # time travel intact
+    # rollback pops tail records; surviving chains still resolve
+    t.rollback_trailing(lambda m: m.get("iteration", -1) >= 6)
+    assert t.snapshot_dirs() == dirs[:6]
+    assert t.read(spark).count() == 6
+    # read_since over the delta chain still yields only the new dirs
+    cur, delta = t.read_since(spark, t.snapshots()[2]["id"])
+    assert delta.count() == 3
+
+
 def test_build_bloom_hash_col_matches_string_path(spark):
     from crawl4ai_spark.operators.seen import build_bloom
 

@@ -435,7 +435,7 @@ def test_stream_mirror_is_manifest_driven(spark, tmp_path):
     # rollback prunes the rolled-back iteration's links from the mirror
     t.rollback_trailing(lambda m: m.get("iteration", -1) >= 1)
     assert spark.read.schema(src.schema).parquet(mirror).count() == 5
-    surviving = set(t.snapshots()[-1]["dirs"])
+    surviving = set(t.snapshot_dirs())
     assert {
         f.split("__", 1)[0]
         for f in os.listdir(mirror)
