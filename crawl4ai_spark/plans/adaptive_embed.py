@@ -157,7 +157,14 @@ class EmbeddingAdaptiveCrawl:
     def _admit_new_results(self) -> None:
         """Embed the results appended since the last KB commit, admit the
         non-duplicates, commit."""
-        cur, new = self.run.t_results.read_since(self.spark, self._results_cursor)
+        # durable_only: the cursor must never land on a provisional
+        # snapshot a crash rollback could pop (re-reading the whole
+        # results table would re-admit every KB embedding). Called after
+        # run_iteration's frontier commit, so the durable tip IS the
+        # current tip on the clean path — this costs nothing.
+        cur, new = self.run.t_results.read_since(
+            self.spark, self._results_cursor, durable_only=True
+        )
         if new is None:
             return
         batch = embed_results_batch(new, self.config.embedding_dim)

@@ -542,7 +542,10 @@ class SnapshotTable:
         return spark.readStream.schema(current.schema).parquet(self._stream_path)
 
     def read_since(
-        self, spark: SparkSession, after_snapshot_id: int | None
+        self,
+        spark: SparkSession,
+        after_snapshot_id: int | None,
+        durable_only: bool = False,
     ) -> tuple[int | None, DataFrame | None]:
         """Incremental read: rows appended AFTER ``after_snapshot_id``
         (None = from the beginning). Returns (current_snapshot_id, df) with
@@ -556,9 +559,22 @@ class SnapshotTable:
         dir would look "new" and previously-delivered rows would be
         re-emitted. Such a gap raises so the caller resets its cursor
         instead of silently double-reading.
+
+        ``durable_only=True`` tails only up to the stream barrier, giving
+        batch tailers the same exactly-once contract as ``stream()``: the
+        returned cursor can never point at a provisional snapshot that
+        crash reconciliation later rolls back (which would raise
+        "not found" here and force a whole-table re-read — a double
+        delivery for a cursor-keeping consumer).
         """
         m = self._read_manifest()
         cur = m["current"]
+        if durable_only:
+            bar = m["stream_barrier"] if "stream_barrier" in m else cur
+            if bar is None:
+                cur = None
+            elif cur is not None:
+                cur = min(bar, cur)
         if cur is None or cur == after_snapshot_id:
             return cur, None
         cur_dirs = self._snapshot_dirs(m, cur)

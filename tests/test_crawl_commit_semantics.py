@@ -210,6 +210,27 @@ def test_stream_sync_incremental_touches_only_new_dirs(spark, tmp_path, monkeypa
     assert len(data_dirs_listed) == 1  # only the dir this commit added
 
 
+def test_read_since_durable_only_skips_provisional(spark, tmp_path):
+    """A durable_only batch tailer never sees (or cursors onto) a
+    provisional snapshot: its cursor survives crash rollback, so it
+    re-reads nothing after the iteration re-executes."""
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(3).toDF("id"))  # durable
+    cur, delta = t.read_since(spark, None, durable_only=True)
+    assert delta.count() == 3
+    t.append(spark.range(3, 6).toDF("id"), {"iteration": 1}, durable=False)
+    cur2, delta2 = t.read_since(spark, cur, durable_only=True)
+    assert delta2 is None and cur2 == cur  # held at the barrier
+    # non-durable tailing WOULD have cursored onto the doomed snapshot
+    t.rollback_trailing(lambda m: m.get("iteration", -1) >= 1)
+    t.append(spark.range(3, 6).toDF("id"), {"iteration": 1}, durable=False)
+    t.mark_durable()
+    cur3, delta3 = t.read_since(spark, cur2, durable_only=True)
+    assert sorted(r.id for r in delta3.collect()) == [3, 4, 5]  # exactly once
+
+
 def test_manifest_is_delta_encoded(spark, tmp_path):
     """Snapshot records store (base, added) deltas, so each data dir name
     appears ONCE in the manifest no matter how many later snapshots
