@@ -175,7 +175,7 @@ class SnapshotTable:
         guaranteed to survive any future ``rollback_trailing``, so the
         mirror's no-re-delivery contract holds."""
         m = self._read_manifest()
-        bar = m["stream_barrier"] if "stream_barrier" in m else m["current"]
+        bar = self._barrier(m)
         if bar != m["current"]:
             m["stream_barrier"] = m["current"]
             self._commit_manifest(m)
@@ -352,13 +352,21 @@ class SnapshotTable:
     def _stream_path(self) -> str:
         return os.path.join(self.root, "stream")
 
+    @staticmethod
+    def _barrier(m: dict) -> int | None:
+        """The persisted stream barrier; absent → the current snapshot
+        (legacy all-commits-durable manifests). The ONE spelling of the
+        legacy fallback — ``mark_durable``, ``_barrier_target`` and
+        ``read_since`` all resolve through here so a semantics change
+        lands in one place."""
+        return m["stream_barrier"] if "stream_barrier" in m else m["current"]
+
     def _barrier_target(self, m: dict) -> tuple[int | None, list[str]]:
         """Resolve the snapshot the stream mirror should deliver up to:
-        the persisted ``stream_barrier`` (absent → the current snapshot,
-        the legacy all-commits-durable behavior), clamped to the current
+        the stream barrier (see ``_barrier``) clamped to the current
         tip. Returns ``(snapshot_id, dirs)``."""
         cur = m["current"]
-        sid = m["stream_barrier"] if "stream_barrier" in m else cur
+        sid = self._barrier(m)
         if sid is None or cur is None:
             return None, []
         sid = min(sid, cur)
@@ -562,19 +570,28 @@ class SnapshotTable:
 
         ``durable_only=True`` tails only up to the stream barrier, giving
         batch tailers the same exactly-once contract as ``stream()``: the
-        returned cursor can never point at a provisional snapshot that
-        crash reconciliation later rolls back (which would raise
-        "not found" here and force a whole-table re-read — a double
-        delivery for a cursor-keeping consumer).
+        returned cursor can never point at a provisional snapshot. Without
+        it the failure is SILENT: crash rollback pops the provisional
+        snapshot and the re-executed iteration reuses its id, so a stale
+        cursor aliases onto the re-executed snapshot and its rows are
+        never delivered. A cursor already ahead of the barrier (a prior
+        non-durable read, or a racing commit whose ``mark_durable`` hasn't
+        landed) holds in place — ``(cursor, None)`` — until the barrier
+        catches up; snapshot ids are contiguous and monotone, so holding
+        can never skip a delivery the caller hasn't already consumed.
         """
         m = self._read_manifest()
         cur = m["current"]
         if durable_only:
-            bar = m["stream_barrier"] if "stream_barrier" in m else cur
+            bar = self._barrier(m)
             if bar is None:
                 cur = None
             elif cur is not None:
                 cur = min(bar, cur)
+            if after_snapshot_id is not None and (
+                cur is None or after_snapshot_id > cur
+            ):
+                return after_snapshot_id, None
         if cur is None or cur == after_snapshot_id:
             return cur, None
         cur_dirs = self._snapshot_dirs(m, cur)
@@ -593,13 +610,14 @@ class SnapshotTable:
                     "cursor and re-read"
                 )
             old_dirs = old_dirs_opt
-        if not set(old_dirs) <= set(cur_dirs):
+        old = set(old_dirs)
+        if not old <= set(cur_dirs):
             raise ValueError(
                 f"snapshot {after_snapshot_id} is not a prefix of {cur} in "
                 f"{self.root}: a replace() happened — read_since only tails "
                 "append-only tables; reset the cursor and re-read"
             )
-        new_dirs = [d for d in cur_dirs if d not in set(old_dirs)]
+        new_dirs = [d for d in cur_dirs if d not in old]
         if not new_dirs:
             return cur, None
         return cur, spark.read.parquet(

@@ -231,6 +231,27 @@ def test_read_since_durable_only_skips_provisional(spark, tmp_path):
     assert sorted(r.id for r in delta3.collect()) == [3, 4, 5]  # exactly once
 
 
+def test_read_since_durable_only_holds_cursor_ahead_of_barrier(spark, tmp_path):
+    """A cursor that got ahead of the stream barrier (a prior
+    non-durable read) HOLDS — (cursor, None) — rather than raising the
+    misleading replace() error, whose reset-and-re-read advice would
+    cause exactly the double delivery durable_only exists to prevent.
+    Once the barrier catches up, tailing resumes from the held cursor."""
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(3).toDF("id"))  # durable
+    t.append(spark.range(3, 6).toDF("id"), durable=False)
+    cur, delta = t.read_since(spark, None)  # non-durable read: cursor = 2
+    assert delta.count() == 6
+    held, nothing = t.read_since(spark, cur, durable_only=True)
+    assert nothing is None and held == cur  # held, not raised
+    t.append(spark.range(6, 9).toDF("id"), durable=False)
+    t.mark_durable()  # barrier now past the held cursor
+    cur2, delta2 = t.read_since(spark, held, durable_only=True)
+    assert sorted(r.id for r in delta2.collect()) == [6, 7, 8]
+
+
 def test_manifest_is_delta_encoded(spark, tmp_path):
     """Snapshot records store (base, added) deltas, so each data dir name
     appears ONCE in the manifest no matter how many later snapshots
