@@ -518,13 +518,30 @@ def run_extract_scale(sf_dir: str, cpus: int, replicate: int) -> dict:
     return {"pages": n, "sec": round(sec, 2), "pages_per_sec": round(n / sec, 1), "cpus": cpus}
 
 
-def run_scaling(sf_dir: str, levels=(4, 16), replicate: int = 24) -> dict:
+def run_scaling(
+    sf_dir: str, levels=(4, 16), replicate: int = 24, submit: bool = False
+) -> dict:
     """Same fetch+extract job at two parallelism levels on identical input
     — the sandbox evidence for the north rule's N→4N scaling-efficiency
-    criterion (no real multi-node cluster available here)."""
+    criterion (no real multi-node cluster available here).
+
+    ``submit=True`` launches each level through genuine ``spark-submit
+    --master local[N] --py-files <pkg zip>`` (the north rule's deployment
+    mode) with this script STAGED OUTSIDE the repo, so the driver and the
+    executor Python workers both import crawl4ai_spark from the shipped
+    zip — the exact artifact a multi-node cluster would receive — not from
+    the local checkout."""
     import shutil
 
     runs = {}
+    submit_prefix: list[str] = []
+    if submit:
+        from crawl4ai_spark.deploy import package_zip
+
+        zip_path = package_zip()
+        stage = tempfile.mkdtemp(prefix="bench_submit_")
+        script = shutil.copy(os.path.abspath(__file__), stage)
+        spark_submit = shutil.which("spark-submit") or "spark-submit"
     for cpus in levels:
         env = dict(
             os.environ,
@@ -533,25 +550,48 @@ def run_scaling(sf_dir: str, levels=(4, 16), replicate: int = 24) -> dict:
             SPARK_GRAFT_BENCH_MODE="extract_scale",
             SPARK_GRAFT_REPLICATE=str(replicate),
         )
-        cmd = [sys.executable, os.path.abspath(__file__)]
+        if submit:
+            # import path = the shipped zip ONLY (never the checkout):
+            # --py-files covers the driver, but the pre-warmed worker
+            # daemon module must be importable when the executor JVM
+            # spawns it — before addPyFile wiring — so the zip also goes
+            # on the JVM's inherited PYTHONPATH (the local-mode analog of
+            # spark.executorEnv.PYTHONPATH on a real cluster)
+            env["PYTHONPATH"] = zip_path
+            cmd = [
+                spark_submit,
+                "--master", f"local[{cpus}]",
+                "--py-files", zip_path,
+                script,
+            ]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__)]
         if shutil.which("taskset"):
             # pin the whole process tree (JVM task threads + Python UDF
             # workers) to exactly `cpus` hardware cores — otherwise a
             # local[8] session quietly borrows all machine cores for its
             # Python workers and the comparison measures nothing
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True,
+            cwd=(stage if submit else None),
+        )
         runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     lo, hi = min(levels), max(levels)
     tp = {c: runs[c]["pages_per_sec"] for c in levels}
     eff = (tp[hi] / tp[lo]) / (hi / lo)
+    label = "spark-submit --py-files" if submit else "in-process"
     return {
-        "metric": f"fetch+extract throughput scaling local[{lo}] -> local[{hi}]",
+        "metric": (
+            f"fetch+extract throughput scaling local[{lo}] -> local[{hi}]"
+            f" ({label})"
+        ),
         "value": round(eff, 3),
         "unit": "scaling_efficiency",
         "throughput_pages_per_sec": {str(c): tp[c] for c in levels},
         "pages": runs[lo]["pages"],
         "sf": _sf_from_dir(sf_dir),
+        "deployment": label,
         "runs": runs,
     }
 
@@ -563,7 +603,7 @@ def main() -> None:
         rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
         print(json.dumps(run_extract_scale(sf_dir, cpus, rep)))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        print(json.dumps(run_scaling(sf_dir, submit="--submit" in sys.argv)))
     else:
         print(json.dumps(run_bench(sf_dir, cpus)))
 

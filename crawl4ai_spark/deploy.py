@@ -23,6 +23,23 @@ def package_zip() -> str:
     timestamps, sorted names) so Spark's add-file content check never sees
     a "same path, different contents" conflict across rebuilds."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already running FROM a shipped archive (spark-submit --py-files
+        # zipimport): the containing zip IS the package artifact. Walking
+        # a zipimport pseudo-path yields no files, so rebuilding here
+        # would silently clobber the artifact with an EMPTY zip — and the
+        # worker daemon's PYTHONPATH import would die with it.
+        probe = pkg_dir
+        while probe and probe != os.path.dirname(probe):
+            if os.path.isfile(probe):
+                if zipfile.is_zipfile(probe):
+                    return probe
+                break
+            probe = os.path.dirname(probe)
+        raise RuntimeError(
+            f"crawl4ai_spark imported from {pkg_dir}, which is neither a "
+            "directory nor inside a zip archive — cannot package"
+        )
     out = os.path.join(tempfile.gettempdir(), "crawl4ai_spark_pyfiles.zip")
     entries: list[tuple[str, str]] = []
     for root, _dirs, files in os.walk(pkg_dir):
