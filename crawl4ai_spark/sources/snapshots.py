@@ -163,7 +163,10 @@ class SnapshotTable:
                 m["stream_barrier"] = m["current"]
             self._commit_manifest(m)
             self._sweep_orphans(keep=set())
-            self._sync_stream_dir(full=True)  # drop links of rolled-back dirs
+            # drop links of rolled-back dirs; prune_min_age_s=0 is safe
+            # here: rollback runs on THE writer (serial-writer contract),
+            # so no concurrent commit can race the prune
+            self._sync_stream_dir(full=True, manifest=m)
         return popped
 
     def mark_durable(self) -> None:
@@ -179,7 +182,7 @@ class SnapshotTable:
         if bar != m["current"]:
             m["stream_barrier"] = m["current"]
             self._commit_manifest(m)
-        self._sync_stream_dir()
+        self._sync_stream_dir(manifest=m)
 
     def append_rows(
         self, table, meta: dict | None = None, durable: bool = True
@@ -345,7 +348,7 @@ class SnapshotTable:
         # ordering means the mirror only ever holds manifest-committed
         # files (a crash right here delays delivery until the next commit
         # repairs the mirror; it can never deliver uncommitted rows)
-        self._sync_stream_dir()
+        self._sync_stream_dir(manifest=manifest)
         return sid
 
     @property
@@ -394,7 +397,13 @@ class SnapshotTable:
             shutil.copy2(src, tmp)
             os.replace(tmp, dst)
 
-    def _sync_stream_dir(self, create: bool = False, full: bool = False) -> None:
+    def _sync_stream_dir(
+        self,
+        create: bool = False,
+        full: bool = False,
+        prune_min_age_s: float = 0.0,
+        manifest: dict | None = None,
+    ) -> None:
         """Reconcile the ``stream/`` mirror with the manifest: hardlink
         every parquet file of the BARRIER snapshot's dirs in (named
         ``<dir>__<file>`` — unique and stable, so the file-source
@@ -425,14 +434,39 @@ class SnapshotTable:
         snapshot onto its replacement in the crash window between the
         rollback's manifest write and its full sync. A missing/stale
         marker (first sync, crash between link phase and marker write,
-        rollback) degrades to a full link+prune pass."""
+        rollback) degrades to a full link+prune pass.
+
+        ``prune_min_age_s``: the full-sync prune deletes links whose
+        source dir no manifest snapshot references. On WRITER paths
+        (``rollback_trailing``) that judgment is exact — the serial-writer
+        contract means no commit can land mid-prune. A READER-side full
+        sync (``stream()``) races live commits: its manifest read can
+        predate a commit whose link phase has already populated the
+        mirror, and pruning those fresh links while the writer's marker
+        records them as synced would silently drop the commit from the
+        stream forever. Readers therefore pass an age cutoff — a link
+        whose inode is younger than the cutoff is spared (hardlinks share
+        the source parquet's mtime, so a just-committed dir's links are
+        always young). Writers only ever ADD new uuid-named dirs, never
+        resurrect old names, so pruning genuinely old unreferenced links
+        never races anything; under the barrier protocol non-durable
+        commits are never linked at all, making the reader-side prune
+        pure debris hygiene, not delivery correctness.
+
+        ``manifest``: commit-path callers pass the manifest dict already
+        in hand, skipping a redundant O(total-dirs) JSON parse per sync
+        (the delta-encoded manifest exists to keep per-commit cost flat
+        on 10k-iteration crawls). The marker write is likewise skipped
+        when the sync linked nothing new."""
+        import time as _time
+
         sd = self._stream_path
         if not os.path.isdir(sd):
             if not create:
                 return
             os.makedirs(sd, exist_ok=True)
             full = True
-        m = self._read_manifest()
+        m = manifest if manifest is not None else self._read_manifest()
         _sid, target_dirs = self._barrier_target(m)
         marker = os.path.join(sd, "_synced")
         synced_dirs: list[str] | None = None
@@ -449,18 +483,25 @@ class SnapshotTable:
         if full:
             synced_dirs = []
             referenced = self._all_referenced(m)
+            cutoff = _time.time() - prune_min_age_s
             for fn in os.listdir(sd):
                 if fn.startswith((".", "_")):
                     continue
                 if fn.split("__", 1)[0] not in referenced:
+                    path = os.path.join(sd, fn)
+                    if prune_min_age_s > 0:
+                        try:
+                            if os.path.getmtime(path) > cutoff:
+                                continue  # fresh: possibly a racing commit
+                        except OSError:
+                            continue  # vanished concurrently
                     try:
-                        os.remove(os.path.join(sd, fn))
+                        os.remove(path)
                     except OSError:
                         pass
         done = set(synced_dirs)
-        for d in target_dirs:
-            if d in done:
-                continue
+        new_dirs = [d for d in target_dirs if d not in done]
+        for d in new_dirs:
             src_dir = os.path.join(self.root, d)
             try:
                 names = os.listdir(src_dir)
@@ -471,6 +512,8 @@ class SnapshotTable:
                     self._link_or_copy(
                         os.path.join(src_dir, fn), os.path.join(sd, f"{d}__{fn}")
                     )
+        if not full and not new_dirs:
+            return  # marker already records exactly target_dirs — no-op
         tmp = marker + "." + uuid.uuid4().hex + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"dirs": target_dirs}, f)
@@ -546,7 +589,13 @@ class SnapshotTable:
                     f"dirs of snapshot {prev['id']} (a replace() happened) — "
                     "stream() only tails append-only tables"
                 )
-        self._sync_stream_dir(create=True, full=True)
+        # reader-side full sync: age-gate the prune (300 s, same cutoff as
+        # _sweep_orphans' read path) so a live writer's just-linked commit
+        # — invisible in this reader's manifest snapshot but already
+        # recorded in the writer's _synced marker — is never deleted out
+        # from under the stream (it would be skipped by every later
+        # incremental sync and silently lost)
+        self._sync_stream_dir(create=True, full=True, prune_min_age_s=300.0)
         return spark.readStream.schema(current.schema).parquet(self._stream_path)
 
     def read_since(
@@ -579,11 +628,26 @@ class SnapshotTable:
         landed) holds in place — ``(cursor, None)`` — until the barrier
         catches up; snapshot ids are contiguous and monotone, so holding
         can never skip a delivery the caller hasn't already consumed.
+        The hold applies ONLY to cursors the manifest still knows (ids
+        ≤ the current tip): a cursor above the tip means the table was
+        rebuilt under the caller, and holding there would stall forever —
+        silently — instead of raising the same rebuilt-table error the
+        non-durable path raises (worse, once the rebuilt table grew past
+        the stale id the cursor would alias onto an unrelated snapshot
+        and skip every earlier row).
         """
         m = self._read_manifest()
         cur = m["current"]
         if durable_only:
             bar = self._barrier(m)
+            if after_snapshot_id is not None and (
+                cur is None or after_snapshot_id > cur
+            ):
+                raise ValueError(
+                    f"snapshot {after_snapshot_id} not found in {self.root}: "
+                    "the table was rebuilt under this cursor — reset the "
+                    "cursor and re-read"
+                )
             if bar is None:
                 cur = None
             elif cur is not None:

@@ -284,6 +284,90 @@ def test_manifest_is_delta_encoded(spark, tmp_path):
     assert delta.count() == 3
 
 
+def test_reader_full_sync_spares_racing_commit_links(spark, tmp_path):
+    """stream()'s reader-side full sync races live commits: its manifest
+    read can predate a commit whose files are already linked into the
+    mirror (and recorded in the writer's _synced marker). The age-gated
+    prune must spare those fresh links — deleting them would skip the
+    commit in every later incremental sync, silently and forever. Old
+    unreferenced links (genuine debris) must still be pruned."""
+    import json
+    import time
+
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(3).toDF("id"))
+    t.stream(spark)  # creates the mirror
+    stale = t._read_manifest()  # the reader's (soon-to-be-stale) view
+    t.append(spark.range(3, 6).toDF("id"))  # racing commit: links + marker
+    sd = t._stream_path
+    n_before = len([f for f in os.listdir(sd) if f.endswith(".parquet")])
+    # plant genuine debris: an unreferenced link old enough to prune
+    debris = os.path.join(sd, "data-debris__part-0.parquet")
+    open(debris, "wb").close()
+    os.utime(debris, (time.time() - 3600, time.time() - 3600))
+    # replay the reader's prune with its stale manifest (the race, made
+    # deterministic): fresh commit links must survive, debris must not
+    t._sync_stream_dir(full=True, prune_min_age_s=300.0, manifest=stale)
+    names = set(os.listdir(sd))
+    assert "data-debris__part-0.parquet" not in names  # old debris pruned
+    kept = [f for f in names if f.endswith(".parquet")]
+    assert len(kept) == n_before  # racing commit's links all survived
+    # and the writer's marker still delivers them: stream reads 6 rows
+    assert spark.read.parquet(sd).count() == 6
+    marker = json.load(open(os.path.join(sd, "_synced")))
+    assert set(marker["dirs"]) <= set(t.snapshot_dirs())
+
+
+def test_commit_sync_skips_noop_marker_rewrite(spark, tmp_path):
+    """mark_durable with nothing new must not rewrite the _synced marker
+    (the crawl loop calls it on several tables every iteration entry —
+    a no-op rewrite per call re-adds the very I/O the incremental sync
+    exists to avoid)."""
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(3).toDF("id"))
+    t.stream(spark)
+    marker = os.path.join(t._stream_path, "_synced")
+    st0 = os.stat(marker)
+    t.mark_durable()  # barrier already current, mirror already synced
+    t.mark_durable()
+    st1 = os.stat(marker)
+    assert (st0.st_mtime_ns, st0.st_ino) == (st1.st_mtime_ns, st1.st_ino)
+    t.append(spark.range(3, 6).toDF("id"))  # a real commit DOES advance it
+    assert os.stat(marker).st_mtime_ns > st0.st_mtime_ns
+
+
+def test_read_since_durable_only_raises_on_rebuilt_table(spark, tmp_path):
+    """A durable-only cursor above the table's current tip means the
+    table was rebuilt under the caller. That must raise the same
+    rebuilt-table error as the non-durable path — holding (cursor, None)
+    would stall the tailer forever with no signal, then alias onto an
+    unrelated snapshot once ids grew past the stale cursor."""
+    import shutil
+
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root)
+    for i in range(5):
+        t.append(spark.range(i, i + 1).toDF("id"))
+    cur, _ = t.read_since(spark, None, durable_only=True)
+    assert cur == 5
+    shutil.rmtree(root)  # the table is rebuilt from scratch...
+    t2 = SnapshotTable(root)
+    t2.append(spark.range(9).toDF("id"), durable=False)  # ...provisionally
+    with pytest.raises(ValueError, match="rebuilt"):
+        t2.read_since(spark, cur, durable_only=True)
+    # the legitimate hold (cursor known, merely ahead of the barrier)
+    # still holds: a non-durable read cursors onto snapshot 1
+    nd_cur, _ = t2.read_since(spark, None)
+    held, nothing = t2.read_since(spark, nd_cur, durable_only=True)
+    assert (held, nothing) == (nd_cur, None)
+
+
 def test_build_bloom_hash_col_matches_string_path(spark):
     from crawl4ai_spark.operators.seen import build_bloom
 
