@@ -162,7 +162,7 @@ class SnapshotTable:
             ):
                 m["stream_barrier"] = m["current"]
             self._commit_manifest(m)
-            self._sweep_orphans(keep=set())
+            self._sweep_orphans(keep=set(), manifest=m)
             # drop links of rolled-back dirs; prune_min_age_s=0 is safe
             # here: rollback runs on THE writer (serial-writer contract),
             # so no concurrent commit can race the prune
@@ -184,6 +184,63 @@ class SnapshotTable:
             self._commit_manifest(m)
         self._sync_stream_dir(manifest=m)
 
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Iceberg-style ``expire_snapshots``: drop all but the newest
+        ``keep_last`` snapshot RECORDS, re-anchor the oldest survivor as
+        a full-dir-list record (its delta base is gone), then sweep the
+        data dirs no surviving record references.
+
+        This is the missing half of ``_sweep_orphans`` for REPLACE-heavy
+        tables (frontier, host_state — replaced every crawl iteration):
+        the sweep spares any dir referenced by ANY snapshot, so without
+        expiry a 10k-iteration crawl retains 10k dead full frontier
+        copies. On APPEND-ONLY tables expiry reclaims no data (every dir
+        is still referenced by the tip) but compacts the manifest's
+        record list, keeping its parse cost bounded.
+
+        Trades away history: time travel below the new anchor is gone,
+        and a ``read_since`` cursor older than the anchor raises the
+        rebuilt-table error on its next read (pick ``keep_last`` to
+        cover the longest tailing lag; the crawl loop's own resume
+        reconciliation only ever inspects the trailing record per table,
+        so ``keep_last=2`` is safe for it). WRITER-ONLY, like every
+        mutation here (serial-writer contract).
+
+        Never expires past the stream barrier: provisional (non-durable)
+        records must stay individually resolvable — folding one into the
+        anchor would let ``_barrier_target``'s vanished-barrier fallback
+        degrade to the tip and deliver rows a rollback could still
+        retract. Returns the number of records dropped."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        m = self._read_manifest()
+        snaps = m["snapshots"]
+        cut = len(snaps) - keep_last
+        bar = self._barrier(m)
+        if bar is not None:
+            for i, s in enumerate(snaps):
+                if s["id"] == bar:
+                    cut = min(cut, i)
+                    break
+        if cut <= 0:
+            return 0
+        by_id = {s["id"]: s for s in snaps}
+        anchor = snaps[cut]
+        m["snapshots"] = [
+            {
+                "id": anchor["id"],
+                "dirs": self._dirs_of(by_id, anchor["id"]),
+                "meta": anchor.get("meta") or {},
+            }
+        ] + snaps[cut + 1:]
+        self._commit_manifest(m)
+        self._sweep_orphans(keep=set(), manifest=m)
+        # a stream mirror only exists on (append-only) streamed tables,
+        # where expiry frees nothing — but a full writer-side sync is
+        # cheap and heals any stale links if one exists anyway
+        self._sync_stream_dir(full=True, manifest=m)
+        return cut
+
     def append_rows(
         self, table, meta: dict | None = None, durable: bool = True
     ) -> int:
@@ -203,7 +260,9 @@ class SnapshotTable:
         m = self._read_manifest()
         return self._commit(m, m["current"], [name], meta, durable)
 
-    def _sweep_orphans(self, keep: set[str], min_age_s: float = 0.0) -> None:
+    def _sweep_orphans(
+        self, keep: set[str], min_age_s: float = 0.0, manifest: dict | None = None
+    ) -> None:
         """Garbage-collect crash debris (the Iceberg analog is
         remove_orphan_files): ``.staging-*`` dirs from writers that died
         mid-job, and ``data-*`` dirs from writers that died in the instant
@@ -229,10 +288,17 @@ class SnapshotTable:
         Spark's parquet job writes part files under ``_temporary/``
         without touching the staging dir's own mtime, so a top-level-mtime
         heuristic would sweep a >300 s in-flight write out from under its
-        writer."""
+        writer.
+
+        ``manifest``: commit-path callers pass the manifest dict already
+        in hand, skipping a redundant O(total-dirs) JSON parse per sweep
+        (same rationale as ``_sync_stream_dir``'s parameter — the
+        delta-encoded manifest exists to keep per-commit driver cost flat
+        on 10k-iteration crawls)."""
         import time as _time
 
-        referenced = set(keep) | self._all_referenced(self._read_manifest())
+        m = manifest if manifest is not None else self._read_manifest()
+        referenced = set(keep) | self._all_referenced(m)
         cutoff = _time.time() - min_age_s
         for name in os.listdir(self.root):
             if not (name.startswith(".staging-") or name.startswith("data-")):
@@ -320,7 +386,7 @@ class SnapshotTable:
         # writer is the only live writer, so no age protection is needed.
         # (keep= only needs THIS commit's dirs: the base snapshot's dirs
         # are already manifest-referenced and the sweep spares those.)
-        self._sweep_orphans(keep=set(new_dirs))
+        self._sweep_orphans(keep=set(new_dirs), manifest=manifest)
         published = []
         for d in new_dirs:
             if d.startswith(".staging-"):
@@ -445,9 +511,16 @@ class SnapshotTable:
         mirror, and pruning those fresh links while the writer's marker
         records them as synced would silently drop the commit from the
         stream forever. Readers therefore pass an age cutoff — a link
-        whose inode is younger than the cutoff is spared (hardlinks share
-        the source parquet's mtime, so a just-committed dir's links are
-        always young). Writers only ever ADD new uuid-named dirs, never
+        younger than the cutoff is spared. Age is judged by ``st_ctime``,
+        NOT mtime: hardlinks share the source parquet's mtime, which is
+        the file's WRITE time — under the two-phase ``stage()`` /
+        ``commit_staged`` split a dir can be committed (and linked)
+        arbitrarily long after its files were written while a sibling
+        stage finishes, so "written long ago" says nothing about "linked
+        long ago". Creating a hardlink updates the inode's ctime, so a
+        just-linked file is always ctime-young regardless of when its
+        bytes were written (the copy fallback's ctime is the copy time —
+        same property). Writers only ever ADD new uuid-named dirs, never
         resurrect old names, so pruning genuinely old unreferenced links
         never races anything; under the barrier protocol non-durable
         commits are never linked at all, making the reader-side prune
@@ -491,7 +564,10 @@ class SnapshotTable:
                     path = os.path.join(sd, fn)
                     if prune_min_age_s > 0:
                         try:
-                            if os.path.getmtime(path) > cutoff:
+                            # ctime = link-creation time (see docstring);
+                            # mtime would be the source file's WRITE time,
+                            # stale for staged-then-committed dirs
+                            if os.stat(path).st_ctime > cutoff:
                                 continue  # fresh: possibly a racing commit
                         except OSError:
                             continue  # vanished concurrently
@@ -563,11 +639,14 @@ class SnapshotTable:
         uncommitted-but-delivered. The append-only contract is enforced
         (a table that ever saw ``replace()`` would re-emit dropped dirs):
         any snapshot whose dir set is not a superset of its predecessor's
-        raises. The sweep below GCs crash debris on the read path too
-        (300 s age cutoff — a reader can't distinguish fresh debris from
-        a live writer's not-yet-committed publish); it is pure hygiene
-        now, not correctness."""
-        self._sweep_orphans(keep=set(), min_age_s=300.0)
+        raises. The read path does NOT sweep orphan data/staging dirs:
+        the mirror is manifest-driven so debris can't reach the stream
+        anyway, and a reader cannot distinguish dead debris from a LIVE
+        writer's quiescent ``stage()``d dir awaiting a slow sibling's
+        two-phase commit (that gap is unbounded by design — an age
+        heuristic here once deleted such a dir and crashed the writer's
+        later ``commit_staged``). Writers sweep on every commit; debris
+        hygiene is theirs alone."""
         current = self.read(spark)
         if current is None:
             raise ValueError(f"cannot stream {self.root}: no committed snapshot")

@@ -303,13 +303,34 @@ def test_reader_full_sync_spares_racing_commit_links(spark, tmp_path):
     t.append(spark.range(3, 6).toDF("id"))  # racing commit: links + marker
     sd = t._stream_path
     n_before = len([f for f in os.listdir(sd) if f.endswith(".parquet")])
-    # plant genuine debris: an unreferenced link old enough to prune
+    # plant genuine debris: an unreferenced link old enough to prune.
+    # Age is judged by ctime (link-creation time — utime can't fake it),
+    # so age the debris by patching os.stat for that one path.
     debris = os.path.join(sd, "data-debris__part-0.parquet")
     open(debris, "wb").close()
-    os.utime(debris, (time.time() - 3600, time.time() - 3600))
+    import unittest.mock
+
+    real_stat = os.stat
+
+    class _Aged:
+        def __init__(self, st):
+            self._st = st
+
+        st_ctime = property(lambda self: time.time() - 3600)
+
+        def __getattr__(self, name):
+            return getattr(self._st, name)
+
+    def fake_stat(path, *a, **kw):
+        st = real_stat(path, *a, **kw)
+        return _Aged(st) if os.fspath(path) == debris else st
+
     # replay the reader's prune with its stale manifest (the race, made
     # deterministic): fresh commit links must survive, debris must not
-    t._sync_stream_dir(full=True, prune_min_age_s=300.0, manifest=stale)
+    with unittest.mock.patch(
+        "crawl4ai_spark.sources.snapshots.os.stat", side_effect=fake_stat
+    ):
+        t._sync_stream_dir(full=True, prune_min_age_s=300.0, manifest=stale)
     names = set(os.listdir(sd))
     assert "data-debris__part-0.parquet" not in names  # old debris pruned
     kept = [f for f in names if f.endswith(".parquet")]
@@ -395,3 +416,74 @@ def test_linkage_tolerates_ragged_vectors(spark):
     assert len(labels) == 5
     assert labels[1] == labels[2]  # identical vectors still cluster
     assert labels[5] != labels[1]
+
+
+def test_expire_snapshots_reclaims_replaced_dirs(spark, tmp_path):
+    """On a replace-heavy table (frontier, host_state), expire_snapshots
+    must drop old snapshot records AND physically reclaim the data dirs
+    only those records referenced — without it a 10k-iteration crawl
+    retains 10k dead frontier copies on disk."""
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(6):
+        t.replace(spark.range(i, i + 3).toDF("id"), meta={"iteration": i})
+    dirs_before = [
+        d for d in os.listdir(t.root) if d.startswith("data-")
+    ]
+    assert len(dirs_before) == 6  # one live + five dead copies
+    dropped = t.expire_snapshots(keep_last=2)
+    assert dropped == 4
+    dirs_after = [d for d in os.listdir(t.root) if d.startswith("data-")]
+    assert len(dirs_after) == 2  # only the two surviving snapshots' dirs
+    # the tip still reads, time travel within the window still works
+    assert sorted(r.id for r in t.read(spark).collect()) == [5, 6, 7]
+    snaps = t.snapshots()
+    assert len(snaps) == 2
+    anchor_id = snaps[0]["id"]
+    assert sorted(
+        r.id for r in t.read(spark, snapshot_id=anchor_id).collect()
+    ) == [4, 5, 6]
+    # meta survives the anchor rewrite (resume reconciliation reads it)
+    assert t.snapshot_meta(anchor_id) == {"iteration": 4}
+    # expired history is gone: unknown id resolves to None
+    assert t.snapshot_dirs(anchor_id - 1) is None
+
+
+def test_expire_snapshots_append_only_keeps_data_compacts_manifest(
+    spark, tmp_path
+):
+    """On an append-only table every dir is still referenced by the tip,
+    so expiry reclaims no data — it only compacts the manifest's record
+    list (the anchor becomes a full-dir-list record)."""
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(5):
+        t.append(spark.range(i * 2, i * 2 + 2).toDF("id"))
+    assert t.expire_snapshots(keep_last=1) == 4
+    assert len(t.snapshots()) == 1
+    assert t.read(spark).count() == 10  # every appended row survives
+    # a cursor below the anchor now raises the rebuilt-table error
+    # instead of silently re-delivering
+    with pytest.raises(ValueError, match="not found"):
+        t.read_since(spark, 2)
+
+
+def test_expire_snapshots_never_crosses_stream_barrier(spark, tmp_path):
+    """Provisional (non-durable) records must stay individually
+    resolvable: folding one into the anchor would let the vanished-
+    barrier fallback degrade to the tip and deliver rows a rollback
+    could still retract."""
+    from crawl4ai_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(2).toDF("id"))  # durable: barrier = 1
+    t.append(spark.range(2, 4).toDF("id"), durable=False)
+    t.append(spark.range(4, 6).toDF("id"), durable=False)
+    # keep_last=1 would cut at the tip, but the barrier pins snapshot 1
+    assert t.expire_snapshots(keep_last=1) == 0
+    assert len(t.snapshots()) == 3
+    t.mark_durable()
+    assert t.expire_snapshots(keep_last=1) == 2
+    assert t.read(spark).count() == 6
