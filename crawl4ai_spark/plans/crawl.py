@@ -112,6 +112,13 @@ class CrawlConfig:
     iteration_window: float = 30.0  # simulated wall budget per iteration (s)
     base_delay: float = 1.0
     max_delay: float = 60.0
+    # snapshots retained on the REPLACE-per-iteration tables (frontier,
+    # host_state): each iteration leaves a full dead copy behind, so a
+    # 10k-iteration crawl would hold 10k frontier copies on disk without
+    # expiry. Resume reconciliation only ever inspects the trailing
+    # record per table, so any value >= 2 is crash-safe; the default
+    # keeps a few extra for time-travel debugging. None = retain all.
+    snapshot_retention: int | None = 8
 
 
 def _zero_scorer(url_col):
@@ -146,6 +153,26 @@ class CrawlRun:
         # have committed by then) — holding it any longer leaks one dead
         # ~1 MiB broadcast per iteration on driver and executors
         self._bloom_bc = None
+        # every frame run_iteration persists, so the failure path can
+        # release them too — without this a raise mid-iteration (fetch
+        # error, commit race, fail-loud fan-out guard) strands up to six
+        # cached frames per attempt in executor memory, and a driver that
+        # retries in-process accumulates them without bound
+        self._iter_caches: list = []
+
+    def _cache(self, df):
+        """persist + track for the run_iteration finally-release."""
+        df = df.persist()
+        self._iter_caches.append(df)
+        return df
+
+    def _release_iter_caches(self) -> None:
+        for df in self._iter_caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session torn down mid-failure: nothing to release
+        self._iter_caches.clear()
 
     def _reconcile(self, next_iteration: int) -> None:
         """Resume-time crash reconciliation. The commit protocol orders
@@ -220,11 +247,17 @@ class CrawlRun:
                 normalize_url_for_deep_crawl,
             )
 
+            # min-url-wins representative per normalized key: seed lists
+            # carry no order column, so "first in list" has no distributed
+            # equivalent — min(url) is the choice BOTH paths can compute
+            # deterministically (layout-independent on the big path)
             dedup: dict[str, str] = {}
             for r in probe:
                 u = r["url"]
                 norm = normalize_url_for_deep_crawl(u, u)
-                dedup.setdefault(norm, u)
+                prev = dedup.get(norm)
+                if prev is None or u < prev:
+                    dedup[norm] = u
             # one explicit slice: createDataFrame(list) parallelizes into
             # defaultParallelism slices, and coalesce(1) would then fuse
             # them into ONE task that runs all those Python partition
@@ -244,23 +277,37 @@ class CrawlRun:
                 F.lit(0.0).alias("score"),
                 F.lit(None).cast("string").alias("parent_url"),
                 F.lit(0).alias("discovered_iter"),
-            ).cache()
+            )
+            seeds = self._cache(seeds)
             n_seeds = len(dedup)
             cached = seeds
         else:
             # keep the normalize UDF + dedup distributed (a resumed
             # mega-frontier is exactly the case one task can't hold);
-            # size the snapshot files by row count after the fact
-            seeds = self.seeds.select(
-                F.col("url"),
-                normalize_deep_udf(F.col("url"), F.col("url")).alias("url_norm"),
-                host_col(F.col("url")).alias("host"),
-                F.lit(0).alias("depth"),
-                F.lit(0.0).alias("score"),
-                F.lit(None).cast("string").alias("parent_url"),
-                F.lit(0).alias("discovered_iter"),
+            # size the snapshot files by row count after the fact.
+            # groupBy+min(url) instead of dropDuplicates: same single
+            # shuffle (with map-side partial agg), but the representative
+            # is deterministic and identical to the fast path's min-wins
+            seeds = (
+                self.seeds.select(
+                    F.col("url"),
+                    normalize_deep_udf(F.col("url"), F.col("url")).alias(
+                        "url_norm"
+                    ),
+                )
+                .groupBy("url_norm")
+                .agg(F.min("url").alias("url"))
+                .select(
+                    "url",
+                    "url_norm",
+                    host_col(F.col("url")).alias("host"),
+                    F.lit(0).alias("depth"),
+                    F.lit(0.0).alias("score"),
+                    F.lit(None).cast("string").alias("parent_url"),
+                    F.lit(0).alias("discovered_iter"),
+                )
             )
-            cached = seeds.dropDuplicates(["url_norm"]).cache()
+            cached = self._cache(seeds)
             n_seeds = cached.count()
             seeds = cached.coalesce(max(1, min(32, n_seeds // 50_000 + 1)))
         # two-phase commit off the shared cache: the DATA writes (the Spark
@@ -296,7 +343,23 @@ class CrawlRun:
 
     def run_iteration(self) -> dict:
         """Run one frontier iteration; returns counters (empty frontier →
-        {'done': True})."""
+        {'done': True}).
+
+        Wraps the body so EVERY exit — the done/early returns, the
+        fail-loud guards, and any Spark job failure — releases the
+        iteration's persisted frames and the bloom bitset broadcast. The
+        success path's targeted unpersists stay (they free memory as soon
+        as each frame is consumed, not at iteration end); the finally is
+        the backstop that makes an in-process retry after a failure start
+        from a clean executor-memory slate. Nothing committed is touched:
+        crash reconciliation handles the snapshot side."""
+        try:
+            return self._run_iteration_body()
+        finally:
+            self._release_iter_caches()
+            self._destroy_bloom_bc()
+
+    def _run_iteration_body(self) -> dict:
         cfg = self.config
         st = self.state()
         if st["iteration"] < 0:
@@ -362,8 +425,15 @@ class CrawlRun:
         hs_df = self.t_host_state.read(self.spark) if cfg.adaptive_politeness else None
         if cfg.adaptive_politeness:
             if hs_df is not None:
+                # NO forced broadcast: host_state is a parquet scan, so
+                # Catalyst's size stats (+ AQE at runtime) broadcast it
+                # while it fits autoBroadcastJoinThreshold and degrade to
+                # a shuffled join beyond — a forced hint would OOM the
+                # driver once the distinct-host set outgrows memory
+                # (100M-host crawls), and unlike the frontier mid-plan
+                # there is no row-count hint cheaper than the scan stats
                 aug = frontier.join(
-                    F.broadcast(hs_df.select("host", "current_delay")), "host", "left"
+                    hs_df.select("host", "current_delay"), "host", "left"
                 )
             else:
                 aug = frontier.withColumn(
@@ -388,7 +458,7 @@ class CrawlRun:
             budgeted, mode=cfg.mode, budget=global_budget, tiebreak="warc_ts_hint",
             small_input=small,
         )
-        selected = selected.drop("warc_ts_hint", "sort_depth").cache()
+        selected = self._cache(selected.drop("warc_ts_hint", "sort_depth"))
         # upper bound on the slice size — exact count comes back with the
         # fetch counters
         ub_selected = min(n_frontier, global_budget)
@@ -404,7 +474,7 @@ class CrawlRun:
             gated = apply_robots_gate(selected, self.robots)
         else:
             gated = selected.withColumn("robots_allowed", F.lit(True))
-        gated = gated.cache()
+        gated = self._cache(gated)
         blocked = gated.filter(~F.col("robots_allowed"))
         allowed = gated.filter(F.col("robots_allowed"))
 
@@ -489,7 +559,7 @@ class CrawlRun:
         results = results.withColumn("iteration", F.lit(iteration)).withColumn(
             "visit_order", F.lit(visit_base) + F.col("visit_rank")
         ).drop("visit_rank")
-        results = results.cache()
+        results = self._cache(results)
         # ONE job yields both the scalar counters and the per-partition
         # fetch lineage (the collected set is ≤ #partitions rows)
         fetch_parts = results.groupBy(
@@ -595,7 +665,8 @@ class CrawlRun:
                 bloom_maybe_contains_col(
                     self.spark, bloom, F.col("url_norm"), bits_bc=self._bloom_bc
                 ),
-            ).persist()
+            )
+            flagged = self._cache(flagged)
             candidates = flagged
         new_urls = dedup_against_seen(
             candidates, seen_df, bloom=bloom, seen_unique=True,
@@ -622,8 +693,8 @@ class CrawlRun:
                 "url", "url_norm", "host", "depth", "score", "parent_url",
                 "discovered_iter",
             )
-            .cache()
         )
+        candidates = self._cache(candidates)
         # one job: candidate count AND per-partition discover lineage
         disc_parts = candidates.groupBy(
             F.spark_partition_id().alias("partition_id")
@@ -648,7 +719,8 @@ class CrawlRun:
                 candidates, remaining_after, salt=cfg.salt,
                 small_input=n_candidates <= cfg.salt_bypass_rows,
                 ascending=cfg.mode == "best_first",
-            ).cache()
+            )
+            new_urls = self._cache(new_urls)
             n_new = remaining_after  # row_number ≤ k keeps exactly k rows
             n_seen_add, seen_src = n_candidates, candidates
             disc_parts = new_urls.groupBy(
@@ -795,6 +867,14 @@ class CrawlRun:
         # iteration's rows exactly when it can never be re-delivered
         for tbl in (self.t_results, self.t_seen, self.t_lineage, self.t_host_state):
             tbl.mark_durable()
+        # reclaim the dead full copies the replace-per-iteration tables
+        # leave behind (append-only tables keep every dir live via the
+        # tip, and external read_since tailers may hold cursors into
+        # them — leave those alone). Driver-side manifest work + dir
+        # removal only, no Spark job.
+        if cfg.snapshot_retention is not None:
+            self.t_frontier.expire_snapshots(keep_last=cfg.snapshot_retention)
+            self.t_host_state.expire_snapshots(keep_last=cfg.snapshot_retention)
         t = _lap("commit", t)
 
         for df in (selected, gated, results, candidates, new_urls):

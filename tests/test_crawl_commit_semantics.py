@@ -487,3 +487,122 @@ def test_expire_snapshots_never_crosses_stream_barrier(spark, tmp_path):
     t.mark_durable()
     assert t.expire_snapshots(keep_last=1) == 2
     assert t.read(spark).count() == 6
+
+
+def test_failed_iteration_releases_caches_and_bloom(spark, pages):
+    """A raise mid-iteration (here: the fail-loud fetch fan-out guard)
+    must release every frame the iteration persisted and the bloom
+    broadcast — an in-process retry after a failure must start from a
+    clean executor-memory slate, not accumulate dead caches per attempt."""
+    wd = tempfile.mkdtemp(prefix="leak_")
+    # duplicate every page row while claiming pages_unique=True: the
+    # left join fans out and the n_deferred<0 guard raises after the
+    # fetch caches are built
+    dup_pages = pages.unionByName(pages)
+    run = CrawlRun(
+        spark, dup_pages, build_robots(spark), build_seeds(spark, 3), wd,
+        CrawlConfig(mode="bfs", max_pages=50, max_depth=3,
+                    host_budget=100000, include_external=True,
+                    pages_unique=True),
+    )
+    n_cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(RuntimeError, match="fan-out"):
+        run.run_iteration()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == n_cached_before
+    assert run._bloom_bc is None
+    assert run._iter_caches == []
+
+
+def test_replace_tables_hold_bounded_snapshots(spark, pages):
+    """The crawl loop expires frontier/host_state history every
+    iteration: a long crawl holds O(retention) data dirs on the
+    replace-per-iteration tables, not one dead full copy per iteration."""
+    wd = tempfile.mkdtemp(prefix="retain_")
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3), wd,
+        CrawlConfig(mode="bfs", max_pages=100000, max_depth=10,
+                    host_budget=2, include_external=True,
+                    adaptive_politeness=True, snapshot_retention=2),
+    )
+    iters = 0
+    for _ in range(5):
+        if run.run_iteration().get("done"):
+            break
+        iters += 1
+    assert iters >= 4, "graph too small to exercise retention"
+    for t in (run.t_frontier, run.t_host_state):
+        assert len(t.snapshots()) <= 2
+        n_dirs = len([d for d in os.listdir(t.root) if d.startswith("data-")])
+        assert n_dirs <= 2
+    # results/seen keep full history (append-only; external tailers may
+    # hold cursors) — and the crawl still resumes correctly
+    run2 = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3), wd,
+        CrawlConfig(mode="bfs", max_pages=100000, max_depth=10,
+                    host_budget=2, include_external=True,
+                    adaptive_politeness=True, snapshot_retention=2),
+    )
+    s = run2.run_iteration()
+    assert not s.get("done") or s.get("reason") != "error"
+
+
+def test_bootstrap_dedup_is_min_url_wins_on_both_paths(spark, pages):
+    """When two raw seed URLs normalize to the same key, BOTH bootstrap
+    paths (driver-side fast path, distributed mega-frontier path) keep
+    the lexicographic-min raw URL — dropDuplicates would pick whichever
+    partition won the shuffle, so a resumed mega-frontier could crawl a
+    different representative per run."""
+    raw = [
+        "https://host0.example/page#frag",  # same key as the bare url
+        "https://host0.example/page",
+        "https://host9.example/only",
+    ]
+    seeds = spark.createDataFrame([(u,) for u in raw], "url string")
+    reps = {}
+    for path, max_rows in (("fast", 200_000), ("distributed", 1)):
+        wd = tempfile.mkdtemp(prefix=f"minwins_{path}_")
+        run = CrawlRun(
+            spark, pages, build_robots(spark), seeds, wd,
+            CrawlConfig(mode="bfs", max_pages=10, max_depth=1,
+                        broadcast_frontier_max=max_rows),
+        )
+        run._bootstrap()
+        reps[path] = {
+            r.url_norm: r.url for r in run.t_frontier.read(spark).collect()
+        }
+    assert reps["fast"] == reps["distributed"]
+    assert reps["fast"]["https://host0.example/page"] == "https://host0.example/page"
+    assert len(reps["fast"]) == 2
+
+
+def test_host_state_join_broadcasts_by_stats_not_hint(spark, tmp_path, pages):
+    """The politeness join reads host_state from parquet, so Catalyst's
+    scan size stats must pick the broadcast while the table is small —
+    and a forced hint must NOT appear, or a 100M-host crawl would OOM
+    the driver. Proxy: with broadcasting disabled the join must degrade
+    to a shuffle (a hinted join would broadcast regardless)."""
+    wd = tempfile.mkdtemp(prefix="hsplan_")
+    run = CrawlRun(
+        spark, pages, build_robots(spark), build_seeds(spark, 3), wd,
+        CrawlConfig(mode="bfs", max_pages=50, max_depth=2,
+                    host_budget=100000, include_external=True,
+                    adaptive_politeness=True),
+    )
+    run.run_iteration()  # writes host_state
+    hs_df = run.t_host_state.read(spark)
+    frontier = pages.select(
+        "url", F.expr("parse_url(url, 'HOST')").alias("host")
+    )
+    joined = frontier.join(hs_df.select("host", "current_delay"), "host", "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # stats pick it while small
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined2 = frontier.join(
+            hs_df.select("host", "current_delay"), "host", "left"
+        )
+        plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2  # no forced hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

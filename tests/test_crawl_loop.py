@@ -482,25 +482,15 @@ def test_stream_never_sees_uncommitted_or_replaced_data(spark, tmp_path):
 def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
     """The narrower crash window: a writer that dies BETWEEN the
     .staging->data-* publish rename and the manifest replace leaves an
-    unreferenced data-* dir. Both the next commit and stream() must sweep
-    it (it is uncommitted garbage the glob would otherwise deliver
-    forever), along with orphan .staging-* dirs from mid-write crashes."""
+    unreferenced data-* dir. Debris hygiene is the WRITER's alone: the
+    next commit sweeps it unconditionally, while stream() never sweeps
+    (a reader cannot tell dead debris from a live writer's quiescent
+    staged dir awaiting a slow sibling's two-phase commit) — the
+    manifest-driven mirror means debris can't reach the stream anyway."""
     import glob as _glob
     import os
 
     from crawl4ai_spark.sources.snapshots import SnapshotTable
-
-    def _backdate(name):
-        # the READ-path sweep only touches dirs whose whole TREE is older
-        # than its age cutoff (the Iceberg remove_orphan_files convention —
-        # a FRESH entry anywhere under an unreferenced dir may be a
-        # concurrent writer's in-flight job, see below), so crash debris is
-        # aged recursively here
-        p = os.path.join(t.root, name)
-        os.utime(p, (0, 0))
-        for dirpath, dirnames, filenames in os.walk(p):
-            for entry in dirnames + filenames:
-                os.utime(os.path.join(dirpath, entry), (0, 0))
 
     t = SnapshotTable(str(tmp_path / "tbl"))
     df = spark.range(5).withColumnRenamed("id", "v")
@@ -510,48 +500,30 @@ def test_crash_debris_swept_on_commit_and_stream(spark, tmp_path):
     staged = t._write_data(spark.range(100, 103).withColumnRenamed("id", "v"))
     orphan_data = "data-" + staged[len(".staging-"):]
     os.replace(os.path.join(t.root, staged), os.path.join(t.root, orphan_data))
-    _backdate(orphan_data)
     # and a mid-write crash: an orphan staging dir
     orphan_staging = t._write_data(spark.range(7).withColumnRenamed("id", "v"))
-    _backdate(orphan_staging)
-    # plus a YOUNG unreferenced staging dir standing in for a concurrent
-    # writer mid-commit — the age cutoff must protect it on the read path.
-    # Backdate its TOP-LEVEL mtime only: a long-running Spark job writes
-    # part files under _temporary/ without touching the staging dir's own
-    # mtime, so the sweep must judge age by the newest entry in the tree.
-    inflight = t._write_data(spark.range(300, 302).withColumnRenamed("id", "v"))
-    os.utime(os.path.join(t.root, inflight), (0, 0))
     assert os.path.exists(os.path.join(t.root, orphan_data))
 
-    # stream() sweeps aged debris, spares the in-flight dir, and its
-    # source sees only committed rows
-    t.stream(spark)  # creation runs the sweep
-    assert not os.path.exists(os.path.join(t.root, orphan_data))
-    assert not os.path.exists(os.path.join(t.root, orphan_staging))
-    assert os.path.exists(os.path.join(t.root, inflight))
-    assert spark.read.parquet(os.path.join(t.root, "data-*")).count() == 5
-    import shutil as _shutil
+    # stream() leaves the debris alone (it might be a live writer's
+    # in-flight publish) AND delivers only committed rows: the mirror is
+    # built from the manifest, never from a data-* glob
+    t.stream(spark)
+    assert os.path.exists(os.path.join(t.root, orphan_data))
+    assert os.path.exists(os.path.join(t.root, orphan_staging))
+    assert spark.read.parquet(t._stream_path).count() == 5
 
-    _shutil.rmtree(os.path.join(t.root, inflight))
-
-    # the commit path sweeps UNCONDITIONALLY — even seconds-old debris
-    # (no backdating here): under the serial-writer contract the committing
-    # writer is the only live writer, and erasing fresh crash debris at
-    # commit time is what closes the uncommitted-row window for any stream
-    # created after a crashed run resumes and re-appends
-    staged2 = t._write_data(spark.range(200, 202).withColumnRenamed("id", "v"))
-    os.replace(
-        os.path.join(t.root, staged2),
-        os.path.join(t.root, "data-" + staged2[len(".staging-"):]),
-    )
+    # the commit path sweeps UNCONDITIONALLY — even seconds-old debris:
+    # under the serial-writer contract the committing writer is the only
+    # live writer, so the debris above is provably dead by the time a
+    # commit runs
     t.append(spark.range(10, 13).withColumnRenamed("id", "v"))
     assert t.read(spark).count() == 8
+    assert spark.read.parquet(t._stream_path).count() == 8
     # only the two committed dirs survive
     assert len(_glob.glob(os.path.join(t.root, "data-*"))) == 2
     assert not _glob.glob(os.path.join(t.root, ".staging-*"))
     # time-travel dirs are NEVER swept: snapshot 1 still reads in full
     assert t.read(spark, snapshot_id=1).count() == 5
-
 
 def test_bootstrap_fast_path_is_one_probe_job(spark, pages):
     """The config-sized seed bootstrap pays exactly ONE driver-thread Spark
