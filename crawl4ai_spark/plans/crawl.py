@@ -84,7 +84,16 @@ class CrawlConfig:
     score_threshold: float = float("-inf")
     include_external: bool = False
     check_robots: bool = True
+    # URL-seen pre-filter backend (the north rule's "bloom/cuckoo"):
+    # 'bloom'  — OR-mergeable bitsets (operators/seen.py), cheapest build;
+    # 'cuckoo' — 16-bit-fingerprint cuckoo tables (operators/cuckoo.py),
+    #            ~80x lower FPP at comparable memory and DELETABLE, so a
+    #            TTL/recrawl policy can expire seen URLs in place.
+    # Both are pre-filters ahead of the same exact anti-join, so the crawl's
+    # visit order and seen set are byte-identical under either backend.
+    seen_filter: str = "bloom"
     bloom_bits: int = 1 << 23
+    cuckoo_buckets: int = 1 << 19  # x4 slots ~= 2M keys at 0.95 load
     # fetch join: broadcast the frontier slice only below this row count —
     # an unbudgeted iteration (iteration_budget=None, huge max_pages) must
     # degrade to a shuffle join instead of OOMing the driver with a hinted
@@ -633,43 +642,59 @@ class CrawlRun:
         if cfg.score_threshold != float("-inf"):
             candidates = candidates.filter(F.col("score") >= cfg.score_threshold)
 
-        # 6. dedup vs seen (exact anti-join; bloom pre-filter once the seen
-        #    set is big enough that skipping the join shuffle pays for the
-        #    bloom build+broadcast)
+        # 6. dedup vs seen (exact anti-join; bloom/cuckoo pre-filter once
+        #    the seen set is big enough that skipping the join shuffle pays
+        #    for the filter build+broadcast). The backend choice
+        #    (cfg.seen_filter) cannot change results — both filters are
+        #    no-false-negative pre-filters ahead of the same exact join —
+        #    only the FPP/memory/deletability trade.
         seen_df = self.t_seen.read(self.spark)
-        bloom = None
         flagged = None
         if seen_df is not None and st["n_seen"] >= cfg.bloom_min_seen:
             # the seen table stores url_hash = xxhash64(url_norm) at every
             # append precisely so this per-iteration build scans 8-byte
             # longs (one pruned column) instead of re-hashing every seen
             # url string
-            bloom = build_bloom(
-                seen_df, num_bits=cfg.bloom_bits, hash_col="url_hash"
-            )
-            # pre-compute the bloom probe ONCE under a persist: the split
+            self._destroy_bloom_bc()  # paranoia: a prior failed iteration
+            if cfg.seen_filter == "cuckoo":
+                from crawl4ai_spark.operators.cuckoo import (
+                    build_cuckoo,
+                    cuckoo_maybe_contains_col,
+                )
+
+                cf = build_cuckoo(
+                    seen_df, num_buckets=cfg.cuckoo_buckets, hash_col="url_hash"
+                )
+                self._bloom_bc = self.spark.sparkContext.broadcast(cf.to_bytes())
+                probe = cuckoo_maybe_contains_col(
+                    self.spark, cf, F.col("url_norm"), state_bc=self._bloom_bc
+                )
+            elif cfg.seen_filter == "bloom":
+                from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
+
+                bloom = build_bloom(
+                    seen_df, num_bits=cfg.bloom_bits, hash_col="url_hash"
+                )
+                self._bloom_bc = self.spark.sparkContext.broadcast(
+                    bloom.bits.tobytes()
+                )
+                probe = bloom_maybe_contains_col(
+                    self.spark, bloom, F.col("url_norm"), bits_bc=self._bloom_bc
+                )
+            else:
+                raise ValueError(f"unknown seen_filter: {cfg.seen_filter!r}")
+            # pre-compute the filter probe ONCE under a persist: the split
             # inside dedup_against_seen consumes the candidate plan twice,
             # and without this boundary the Arrow probe UDF (plus the
             # post-exchange aggregate above it) would run once per branch.
             # The persist costs NO extra job — the disc_parts count below
             # materializes it on the way to the downstream cache — and is
             # released as soon as that count returns.
-            from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
-
-            self._destroy_bloom_bc()  # paranoia: a prior failed iteration
-            self._bloom_bc = self.spark.sparkContext.broadcast(
-                bloom.bits.tobytes()
-            )
-            flagged = candidates.withColumn(
-                "_maybe_seen",
-                bloom_maybe_contains_col(
-                    self.spark, bloom, F.col("url_norm"), bits_bc=self._bloom_bc
-                ),
-            )
+            flagged = candidates.withColumn("_maybe_seen", probe)
             flagged = self._cache(flagged)
             candidates = flagged
         new_urls = dedup_against_seen(
-            candidates, seen_df, bloom=bloom, seen_unique=True,
+            candidates, seen_df, seen_unique=True,
             flag_col="_maybe_seen" if flagged is not None else None,
         )
 

@@ -1,0 +1,178 @@
+"""Cuckoo-filter URL-seen backend: core invariants, distributed build,
+probe column, and crawl-loop equivalence with the bloom backend.
+
+The invariant the crawl depends on is NO FALSE NEGATIVES — a seen URL the
+filter calls definitely-new would skip the exact anti-join and be crawled
+twice. Everything here hammers that invariant from every angle the
+backend can reach it: plain inserts, deletes, merges, overflow spill
+(hopelessly undersized tables), serialization, and the distributed
+tree-merge build.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.cuckoo import (
+    SLOTS,
+    CuckooFilterSet,
+    buckets_for,
+    build_cuckoo,
+    cuckoo_maybe_contains_col,
+)
+
+
+@pytest.fixture(scope="module")
+def keys() -> np.ndarray:
+    rng = np.random.default_rng(7)
+    return np.unique(rng.integers(-(2**63), 2**63 - 1, size=100_000, dtype=np.int64))
+
+
+@pytest.fixture(scope="module")
+def filled(keys) -> CuckooFilterSet:
+    cf = CuckooFilterSet(buckets_for(len(keys)))
+    cf.add(keys)
+    return cf
+
+
+def test_no_false_negatives(filled, keys):
+    assert filled.maybe_contains(keys).all()
+
+
+def test_false_positive_rate_bounded(filled, keys):
+    rng = np.random.default_rng(13)
+    fresh = np.setdiff1d(
+        rng.integers(-(2**63), 2**63 - 1, size=100_000, dtype=np.int64), keys
+    )
+    fpr = filled.maybe_contains(fresh).mean()
+    # theory: ~2*SLOTS/2^16 ≈ 1.2e-4; leave an order of magnitude slack
+    assert fpr < 2e-3, fpr
+
+
+def test_delete_is_exact_and_preserves_survivors(keys):
+    cf = CuckooFilterSet(buckets_for(len(keys)))
+    cf.add(keys)
+    gone, kept = keys[: len(keys) // 2], keys[len(keys) // 2 :]
+    assert cf.delete(gone).all()  # every inserted key finds its copy
+    # the bloom can't do this at all; the cuckoo must not hurt survivors
+    assert cf.maybe_contains(kept).all()
+    # deleted keys drop to FP-level residual membership
+    assert cf.maybe_contains(gone).mean() < 2e-3
+
+
+def test_merge_equals_union(keys):
+    nb = buckets_for(len(keys))
+    a, b = keys[::2], keys[1::2]
+    fa, fb = CuckooFilterSet(nb), CuckooFilterSet(nb)
+    fa.add(a)
+    fb.add(b)
+    merged = fa.merge(fb)
+    assert merged.maybe_contains(keys).all()
+    # merge must not mutate its operands
+    assert not fa.maybe_contains(b).all()
+
+
+def test_overflow_spill_never_false_negative(keys):
+    # 1<<10 buckets x 4 slots ≈ 4k capacity; 20k inserts oversubscribe 5x —
+    # the exact overflow spill must catch everything the table cannot hold
+    tiny = CuckooFilterSet(1 << 10)
+    small = keys[:20_000]
+    tiny.add(small)
+    assert len(tiny.overflow) > 0
+    assert tiny.maybe_contains(small).all()
+    # spilled entries are deletable too
+    assert tiny.delete(small).all()
+
+
+def test_bytes_roundtrip(filled, keys):
+    t, o = filled.to_bytes()
+    back = CuckooFilterSet.from_bytes(filled.num_buckets, t, o, copy=False)
+    assert (back.maybe_contains(keys) == filled.maybe_contains(keys)).all()
+
+
+def test_buckets_for_sizing():
+    assert buckets_for(1) == 1 << 10  # floor
+    nb = buckets_for(1_000_000)
+    assert nb & (nb - 1) == 0 and nb * SLOTS * 0.84 >= 1_000_000
+
+
+def test_distributed_build_matches_local(spark, pages):
+    """build_cuckoo over the pages table ≡ a local filter over the same
+    hashes, both through the narrow path and the tree-merge path."""
+    urls = pages.select(F.col("url").alias("url_norm"))
+    hashes = np.array(
+        [r.h for r in urls.select(F.xxhash64("url_norm").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    local = CuckooFilterSet(1 << 14)
+    local.add(hashes)
+    for fanin in (32, 1):  # 1 forces the executor-side merge stage
+        cf = build_cuckoo(urls, num_buckets=1 << 14, merge_fanin=fanin)
+        assert cf.maybe_contains(hashes).all()
+        assert cf.n_collected_tables <= max(
+            fanin, urls.rdd.getNumPartitions() if fanin >= 32 else fanin
+        )
+        # same keys, same derivation → same membership answers as local
+        rng = np.random.default_rng(3)
+        probes = rng.integers(-(2**63), 2**63 - 1, size=5_000, dtype=np.int64)
+        assert (cf.maybe_contains(probes) == local.maybe_contains(probes)).all()
+
+
+def test_probe_column_matches_filter(spark, pages):
+    urls = pages.select(F.col("url").alias("url_norm"))
+    cf = build_cuckoo(urls, num_buckets=1 << 14)
+    half = pages.filter(F.col("doc_id") % 2 == 0).select(
+        "url", F.col("url").alias("url_norm")
+    )
+    got = (
+        half.withColumn(
+            "maybe", cuckoo_maybe_contains_col(spark, cf, F.col("url_norm"))
+        )
+        .select("maybe")
+        .collect()
+    )
+    # every probed url was inserted → no false negatives through the UDF
+    assert all(r.maybe for r in got)
+
+
+def test_crawl_backend_equivalence(spark, pages):
+    """The north rule's 'bloom/cuckoo' backends must be interchangeable:
+    both are pre-filters ahead of the same exact anti-join, so the crawl's
+    results table (urls, depths, visit order) and seen set are identical
+    under either. bloom_min_seen=0 forces the filter path on from the
+    first iteration, so the cuckoo probe really gates candidates here."""
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
+
+    robots = build_robots(spark)
+    seeds = build_seeds(spark, 2)
+    outs = {}
+    for kind in ("bloom", "cuckoo"):
+        cfg = CrawlConfig(
+            mode="bfs",
+            max_pages=100000,
+            max_depth=2,
+            host_budget=100000,
+            salt=4,
+            include_external=True,
+            bloom_min_seen=0,
+            seen_filter=kind,
+            cuckoo_buckets=1 << 12,
+        )
+        run = CrawlRun(
+            spark, pages, robots, seeds, tempfile.mkdtemp(prefix=f"cuckoo_{kind}_"), cfg
+        )
+        run.run(max_iterations=4)
+        res = sorted(
+            (r.url, r.depth, r.visit_order, r.status_code)
+            for r in run.results()
+            .select("url", "depth", "visit_order", "status_code")
+            .collect()
+        )
+        seen = sorted(r.url_norm for r in run.seen().select("url_norm").collect())
+        outs[kind] = (res, seen)
+    assert outs["bloom"] == outs["cuckoo"]
