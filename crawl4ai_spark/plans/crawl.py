@@ -162,6 +162,15 @@ class CrawlRun:
         # have committed by then) — holding it any longer leaks one dead
         # ~1 MiB broadcast per iteration on driver and executors
         self._bloom_bc = None
+        # the URL-seen pre-filter (BloomFilterSet or CuckooFilterSet per
+        # config.seen_filter), maintained INCREMENTALLY across iterations:
+        # built full once (first threshold crossing or resume), then each
+        # iteration merges in only its own new keys. May hold EXTRA keys
+        # relative to the committed seen table after a rolled-back
+        # iteration — harmless by construction (a filter positive still
+        # passes through the exact anti-join); it can never be missing a
+        # committed key (the merge precedes the commit point)
+        self._seen_filter = None
         # every frame run_iteration persists, so the failure path can
         # release them too — without this a raise mid-iteration (fetch
         # error, commit race, fail-loud fan-out guard) strands up to six
@@ -651,10 +660,6 @@ class CrawlRun:
         seen_df = self.t_seen.read(self.spark)
         flagged = None
         if seen_df is not None and st["n_seen"] >= cfg.bloom_min_seen:
-            # the seen table stores url_hash = xxhash64(url_norm) at every
-            # append precisely so this per-iteration build scans 8-byte
-            # longs (one pruned column) instead of re-hashing every seen
-            # url string
             self._destroy_bloom_bc()  # paranoia: a prior failed iteration
             if cfg.seen_filter == "cuckoo":
                 from crawl4ai_spark.operators.cuckoo import (
@@ -662,24 +667,41 @@ class CrawlRun:
                     cuckoo_maybe_contains_col,
                 )
 
-                cf = build_cuckoo(
-                    seen_df, num_buckets=cfg.cuckoo_buckets, hash_col="url_hash"
+                if self._seen_filter is None:
+                    # INCREMENTAL maintenance: this full O(n_seen) build
+                    # runs ONCE per process (first threshold crossing, or
+                    # resume); afterwards each iteration merges in only its
+                    # own new keys (see the partial build below), so the
+                    # per-iteration filter cost is O(new), not O(total) —
+                    # at a 10^10-URL seen set the difference is the whole
+                    # job. The seen table stores url_hash = xxhash64(
+                    # url_norm) at every append precisely so these builds
+                    # scan 8-byte longs (one pruned column) instead of
+                    # re-hashing url strings.
+                    self._seen_filter = build_cuckoo(
+                        seen_df, num_buckets=cfg.cuckoo_buckets,
+                        hash_col="url_hash",
+                    )
+                self._bloom_bc = self.spark.sparkContext.broadcast(
+                    self._seen_filter.to_bytes()
                 )
-                self._bloom_bc = self.spark.sparkContext.broadcast(cf.to_bytes())
                 probe = cuckoo_maybe_contains_col(
-                    self.spark, cf, F.col("url_norm"), state_bc=self._bloom_bc
+                    self.spark, self._seen_filter, F.col("url_norm"),
+                    state_bc=self._bloom_bc,
                 )
             elif cfg.seen_filter == "bloom":
                 from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
 
-                bloom = build_bloom(
-                    seen_df, num_bits=cfg.bloom_bits, hash_col="url_hash"
-                )
+                if self._seen_filter is None:
+                    self._seen_filter = build_bloom(
+                        seen_df, num_bits=cfg.bloom_bits, hash_col="url_hash"
+                    )
                 self._bloom_bc = self.spark.sparkContext.broadcast(
-                    bloom.bits.tobytes()
+                    self._seen_filter.bits.tobytes()
                 )
                 probe = bloom_maybe_contains_col(
-                    self.spark, bloom, F.col("url_norm"), bits_bc=self._bloom_bc
+                    self.spark, self._seen_filter, F.col("url_norm"),
+                    bits_bc=self._bloom_bc,
                 )
             else:
                 raise ValueError(f"unknown seen_filter: {cfg.seen_filter!r}")
@@ -831,6 +853,32 @@ class CrawlRun:
             "depth",
             F.lit(iteration + 1).alias("first_iter"),
         )
+        if self._seen_filter is not None and n_seen_add:
+            # incremental filter maintenance: fold ONLY this iteration's
+            # new keys into the in-memory filter (a partial build over the
+            # cached candidate slice — O(new) — then an in-memory merge),
+            # replacing the full O(n_seen) rebuild every later iteration
+            # would otherwise pay. Ordering is the safety argument: the
+            # merge lands BEFORE the seen commit below, so a crash or
+            # commit failure can only ever leave the filter with EXTRA
+            # keys relative to the table — extras are harmless (a filter
+            # positive still goes through the exact anti-join), whereas
+            # the reverse order could leave committed keys missing from
+            # the filter, and a missing key skips the join: a duplicate
+            # crawl. A process restart drops the object entirely and the
+            # resume path rebuilds it full, once.
+            if cfg.seen_filter == "cuckoo":
+                from crawl4ai_spark.operators.cuckoo import build_cuckoo
+
+                partial = build_cuckoo(
+                    seen_append, num_buckets=cfg.cuckoo_buckets,
+                    hash_col="url_hash",
+                )
+            else:
+                partial = build_bloom(
+                    seen_append, num_bits=cfg.bloom_bits, hash_col="url_hash"
+                )
+            self._seen_filter = self._seen_filter.merge(partial)
         # two-phase commit across independent tables (separate manifests):
         # the Spark DATA writes run concurrently into invisible staging
         # dirs (commit wall time = slowest write, not the sum), then the

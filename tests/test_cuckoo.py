@@ -140,18 +140,23 @@ def test_probe_column_matches_filter(spark, pages):
 
 
 def test_crawl_backend_equivalence(spark, pages):
-    """The north rule's 'bloom/cuckoo' backends must be interchangeable:
-    both are pre-filters ahead of the same exact anti-join, so the crawl's
-    results table (urls, depths, visit order) and seen set are identical
-    under either. bloom_min_seen=0 forces the filter path on from the
-    first iteration, so the cuckoo probe really gates candidates here."""
+    """The north rule's 'bloom/cuckoo' backends must be interchangeable,
+    and the pre-filter must not change results at all: both are
+    no-false-negative pre-filters ahead of the same exact anti-join, so
+    the crawl's results table (urls, depths, visit order) and seen set are
+    identical under bloom, cuckoo, and NO filter. bloom_min_seen=0 forces
+    the filter path on from the first iteration, which also exercises the
+    INCREMENTAL filter maintenance (full build at iteration 1, per-
+    iteration partial merges after) across all four iterations — at the
+    end the filter must still cover every committed seen key (a missing
+    key would mean a duplicate crawl at scale)."""
     from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
     from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
 
     robots = build_robots(spark)
     seeds = build_seeds(spark, 2)
     outs = {}
-    for kind in ("bloom", "cuckoo"):
+    for kind in ("bloom", "cuckoo", "off"):
         cfg = CrawlConfig(
             mode="bfs",
             max_pages=100000,
@@ -159,8 +164,8 @@ def test_crawl_backend_equivalence(spark, pages):
             host_budget=100000,
             salt=4,
             include_external=True,
-            bloom_min_seen=0,
-            seen_filter=kind,
+            bloom_min_seen=0 if kind != "off" else 10**12,
+            seen_filter=kind if kind != "off" else "bloom",
             cuckoo_buckets=1 << 12,
         )
         run = CrawlRun(
@@ -175,4 +180,14 @@ def test_crawl_backend_equivalence(spark, pages):
         )
         seen = sorted(r.url_norm for r in run.seen().select("url_norm").collect())
         outs[kind] = (res, seen)
-    assert outs["bloom"] == outs["cuckoo"]
+        if kind == "off":
+            assert run._seen_filter is None
+        else:
+            # incremental-maintenance coverage invariant: after N merges
+            # the in-memory filter still contains every committed key
+            hashes = np.array(
+                [r.url_hash for r in run.seen().select("url_hash").collect()],
+                dtype=np.int64,
+            )
+            assert run._seen_filter.maybe_contains(hashes).all()
+    assert outs["bloom"] == outs["cuckoo"] == outs["off"]
