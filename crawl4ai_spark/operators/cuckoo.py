@@ -61,6 +61,9 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 # array; 500 is the paper's figure — at sane load factors chains this
 # long essentially never happen
 _MAX_KICKS = 500
+# the paper's high-watermark load factor for 4-slot buckets; past it
+# eviction chains blow up and inserts start spilling to the exact overflow
+SAFE_LOAD = 0.84
 
 
 class CuckooFilterSet:
@@ -162,14 +165,29 @@ class CuckooFilterSet:
     def _insert_pairs(self, idx: np.ndarray, fp: np.ndarray) -> None:
         """Insert raw (bucket, fp) pairs: vectorized home-bucket pass, then
         vectorized alternate-bucket pass, then the scalar kick loop for the
-        few pairs both of whose buckets were full."""
+        few pairs both of whose buckets were full. On an observably
+        saturated table (load > 0.95, well past SAFE_LOAD) the kick chase
+        would exhaust its 500-eviction budget for almost every pair only
+        to spill anyway — ~4 ms of interpreter time per key — so the
+        remainder spills straight to the exact overflow in one
+        concatenate: identical membership/delete/merge semantics (the
+        overflow is consulted everywhere), just without burning the
+        eviction budget on a table that cannot absorb the keys."""
         placed = self._place(idx, fp)
         rem_i, rem_f = idx[~placed], fp[~placed]
         if len(rem_i) == 0:
             return
         alt = self._alt(rem_i, rem_f)
         placed2 = self._place(alt, rem_f)
-        for i, f in zip(rem_i[~placed2], rem_f[~placed2]):
+        rem3_i, rem3_f = rem_i[~placed2], rem_f[~placed2]
+        if len(rem3_i) == 0:
+            return
+        if self.load_factor() > 0.95:
+            self.overflow = np.concatenate(
+                [self.overflow, self._pack(rem3_i, rem3_f)]
+            )
+            return
+        for i, f in zip(rem3_i, rem3_f):
             self._insert_kick(int(i), int(f))
 
     # -- public set operations ------------------------------------------------
@@ -192,48 +210,103 @@ class CuckooFilterSet:
             )
         return out
 
+    def _unplace(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """Vectorized inverse of ``_place``: clear ONE stored copy of each
+        (bucket, fp) pair where one exists. Intra-batch multiset contention
+        resolves by rank-within-(bucket, fp)-group exactly as ``_place``
+        ranks within buckets — the rank-th requester claims the rank-th
+        matching slot, so k requests against m stored copies clear
+        min(k, m) slots, never the same slot twice. Returns the cleared
+        mask aligned to input order."""
+        n = len(idx)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        packed = self._pack(idx, fp)
+        order = np.argsort(packed, kind="stable")
+        sp = packed[order]
+        uniq, start, counts = np.unique(sp, return_index=True, return_counts=True)
+        rank = np.arange(n) - np.repeat(start, counts)
+        ui = (uniq >> np.uint64(16)).astype(np.int64)
+        uf = (uniq & np.uint64(0xFFFF)).astype(np.uint16)
+        match = self.table[ui] == uf[:, None]  # (U, SLOTS)
+        nmatch = match.sum(axis=1)
+        can = rank < np.repeat(nmatch, counts)
+        # the rank-th matching slot of each pair's bucket (argsort puts
+        # matching slot indices first, stable ⇒ in slot order); distinct
+        # ranks within a group ⇒ distinct slots, and distinct fp groups in
+        # one bucket match disjoint slots, so the scatter never collides
+        slot_order = np.argsort(~match, axis=1, kind="stable")
+        slots = slot_order[
+            np.repeat(np.arange(len(uniq)), counts),
+            np.minimum(rank, SLOTS - 1),  # clamped; only read where can=True
+        ]
+        si = np.repeat(ui, counts)
+        self.table[si[can], slots[can]] = _EMPTY
+        removed = np.zeros(n, dtype=bool)
+        removed[order] = can
+        return removed
+
     def delete(self, hashes: np.ndarray) -> np.ndarray:
         """Remove ONE stored copy per key (bloom filters cannot do this —
         the operation that justifies the cuckoo backend: TTL/recrawl expiry
         of seen URLs without rebuilding the filter). Only sound for keys
-        that were inserted; returns the per-key removed mask."""
+        that were inserted; returns the per-key removed mask.
+
+        Vectorized mirror of the insert path: a bulk home-bucket pass, a
+        bulk alternate-bucket pass for the misses, then a scalar walk of
+        the exact overflow spill for the (rare) remainder — interpreter
+        time is O(overflow hits), not O(keys), so a 10M-URL TTL expiry is
+        numpy-bound."""
         i1, fp = self._index_fp(np.asarray(hashes))
         n = len(i1)
-        removed = np.zeros(n, dtype=bool)
         if n == 0:
-            return removed
-        i2 = self._alt(i1, fp)
-        # MULTISET semantics for the overflow: two distinct keys can spill
-        # identical (bucket, fp) pairs — a set would collapse them and the
-        # second delete would miss its copy
-        from collections import Counter
+            return np.zeros(0, dtype=bool)
+        removed = self._unplace(i1, fp)
+        miss = ~removed
+        if miss.any():
+            hit2 = self._unplace(self._alt(i1[miss], fp[miss]), fp[miss])
+            removed[np.nonzero(miss)[0][hit2]] = True
+        miss = ~removed
+        if miss.any() and len(self.overflow):
+            # MULTISET semantics for the overflow: two distinct keys can
+            # spill identical (bucket, fp) pairs — a set would collapse
+            # them and the second delete would miss its copy
+            from collections import Counter
 
-        ov = Counter(self.overflow.tolist())
-        ov_changed = False
-        for k in range(n):
-            f = fp[k]
-            done = False
-            for b in (int(i1[k]), int(i2[k])):
-                row = self.table[b]
-                m = np.nonzero(row == f)[0]
-                if len(m):
-                    row[m[0]] = _EMPTY
-                    done = True
-                    break
-            if not done:
-                for b in (int(i1[k]), int(i2[k])):
-                    packed = (b << 16) | int(f)
+            ov = Counter(self.overflow.tolist())
+            ov_changed = False
+            mi = np.nonzero(miss)[0]
+            p1 = self._pack(i1[mi], fp[mi])
+            p2 = self._pack(self._alt(i1[mi], fp[mi]), fp[mi])
+            for k, a, b in zip(mi, p1.tolist(), p2.tolist()):
+                for packed in (a, b):
                     if ov.get(packed, 0) > 0:
                         ov[packed] -= 1
                         ov_changed = True
-                        done = True
+                        removed[k] = True
                         break
-            removed[k] = done
-        if ov_changed:
-            self.overflow = np.fromiter(
-                (p for p, c in ov.items() for _ in range(c)), dtype=np.uint64
-            )
+            if ov_changed:
+                self.overflow = np.fromiter(
+                    (p for p, c in ov.items() for _ in range(c)),
+                    dtype=np.uint64,
+                )
         return removed
+
+    def load_factor(self) -> float:
+        """Occupied fraction of the slot table (overflow spills count as
+        occupancy — they exist precisely because the table was full).
+        One 4 MiB ``count_nonzero`` scan; cheap enough per iteration."""
+        return (int(np.count_nonzero(self.table)) + len(self.overflow)) / (
+            self.num_buckets * SLOTS
+        )
+
+    def needs_grow(self) -> bool:
+        """True past the paper's 0.84 high-watermark for 4-slot buckets —
+        beyond it eviction chains (and thus overflow spills and scalar-
+        kick insert time) blow up, so incremental maintainers (the crawl
+        loop) should rebuild at ``buckets_for`` the larger cardinality
+        instead of merging into a saturated table."""
+        return self.load_factor() > SAFE_LOAD
 
     def merge(self, other: "CuckooFilterSet") -> "CuckooFilterSet":
         """Union by re-inserting every stored pair of ``other`` — possible
@@ -272,10 +345,11 @@ class CuckooFilterSet:
         return cls(num_buckets, table=t, overflow=o)
 
 
-def buckets_for(expected_n: int, load_factor: float = 0.84) -> int:
+def buckets_for(expected_n: int, load_factor: float = SAFE_LOAD) -> int:
     """Smallest power-of-two bucket count holding ``expected_n`` keys at
-    ``load_factor`` (0.84 is the paper's high-watermark for 4-slot
-    buckets; beyond it eviction chains blow up)."""
+    ``load_factor`` (default ``SAFE_LOAD`` = 0.84, the paper's
+    high-watermark for 4-slot buckets; beyond it eviction chains blow
+    up)."""
     need = max(1, int(expected_n / (SLOTS * load_factor)))
     return max(1 << 10, 1 << (need - 1).bit_length())
 
@@ -292,51 +366,29 @@ def build_cuckoo(
     merge_fanin: int = CUCKOO_MERGE_FANIN,
     hash_col: str | None = None,
 ) -> CuckooFilterSet:
-    """Distributed build: per-partition cuckoo tables via ``mapInPandas``,
-    tree-merged executor-side within ``merge_fanin`` groups (merge =
+    """Distributed build over the shared ``build_filter_distributed``
+    protocol (seen.py — one code path for both backends): per-partition
+    cuckoo tables, executor tree-merge, bounded driver fan-in. Merge =
     re-insert stored pairs; associative up to slot placement, and
-    membership — the only consumed property — is placement-independent),
-    so driver traffic is ≤ ``merge_fanin`` tables regardless of the scan's
-    partition count. ``hash_col`` skips re-hashing when the table already
-    stores ``xxhash64(key)`` (the seen table's ``url_hash``), exactly as
-    ``build_bloom`` does."""
-    if hash_col is not None:
-        hashed = df.select(F.col(hash_col).alias("h"))
-    else:
-        hashed = df.select(F.xxhash64(F.col(key)).alias("h"))
+    membership — the only consumed property — is placement-independent."""
+    from crawl4ai_spark.operators.seen import build_filter_distributed
 
-    def per_partition(batches):
-        cf = CuckooFilterSet(num_buckets)
-        any_rows = False
-        for pdf in batches:
-            if len(pdf):
-                any_rows = True
-                cf.add(pdf["h"].to_numpy())
-        if any_rows:
-            t, o = cf.to_bytes()
-            yield pd.DataFrame({"table": [t], "overflow": [o]})
+    def to_pdf(cf: CuckooFilterSet) -> pd.DataFrame:
+        t, o = cf.to_bytes()
+        return pd.DataFrame({"table": [t], "overflow": [o]})
 
-    def merge_within_partition(batches):
-        acc: CuckooFilterSet | None = None
-        for pdf in batches:
-            for t, o in zip(pdf["table"], pdf["overflow"]):
-                cf = CuckooFilterSet.from_bytes(num_buckets, t, o)
-                acc = cf if acc is None else acc.merge(cf)
-        if acc is not None:
-            t, o = acc.to_bytes()
-            yield pd.DataFrame({"table": [t], "overflow": [o]})
-
-    partials = hashed.mapInPandas(per_partition, "table binary, overflow binary")
-    if hashed.rdd.getNumPartitions() > merge_fanin:
-        partials = partials.repartition(merge_fanin).mapInPandas(
-            merge_within_partition, "table binary, overflow binary"
-        )
-    parts = partials.collect()
-    out = CuckooFilterSet(num_buckets)
-    for row in parts:
-        out = out.merge(CuckooFilterSet.from_bytes(num_buckets, row.table, row.overflow))
-    out.n_collected_tables = len(parts)
-    return out
+    return build_filter_distributed(
+        df,
+        key,
+        hash_col,
+        new_filter=lambda: CuckooFilterSet(num_buckets),
+        to_pdf=to_pdf,
+        from_row=lambda row: CuckooFilterSet.from_bytes(
+            num_buckets, row.table, row.overflow
+        ),
+        schema="table binary, overflow binary",
+        merge_fanin=merge_fanin,
+    )
 
 
 def cuckoo_maybe_contains_col(

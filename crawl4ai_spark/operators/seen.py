@@ -69,6 +69,72 @@ class BloomFilterSet:
 BLOOM_MERGE_FANIN = 32
 
 
+def build_filter_distributed(
+    df: DataFrame,
+    key: str,
+    hash_col: str | None,
+    new_filter,
+    to_pdf,
+    from_row,
+    schema: str,
+    merge_fanin: int,
+):
+    """Shared distributed-build protocol for BOTH approximate-membership
+    backends (the bloom here and ``operators/cuckoo.py`` — one code path so
+    a fan-in/empty-partition/merge fix cannot silently apply to only one):
+    per-partition filters via ``mapInPandas``, tree-merged executor-side
+    within ``merge_fanin`` groups on wide inputs, then a driver merge of at
+    most ``merge_fanin`` serialized tables — driver traffic is bounded by
+    ``merge_fanin`` × table size regardless of the scan's partition count
+    (a 10k-partition cluster ships ~32 MiB through the driver, not ~10 GiB).
+    Merge must be associative and membership placement-independent, which
+    both backends guarantee.
+
+    - ``new_filter()`` → empty filter with ``add(np.int64 batch)`` + ``merge``
+    - ``to_pdf(filter)`` → one-row pandas frame matching ``schema``
+    - ``from_row(row)`` → filter deserialized from one such row
+    - ``hash_col``: column already holding ``xxhash64(key)`` (the seen
+      table's ``url_hash``) — the build then scans stored 8-byte longs
+      (one pruned parquet column) instead of re-hashing key strings."""
+    if hash_col is not None:
+        hashed = df.select(F.col(hash_col).alias("h"))
+    else:
+        hashed = df.select(F.xxhash64(F.col(key)).alias("h"))
+
+    def per_partition(batches):
+        f = new_filter()
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                f.add(pdf["h"].to_numpy())
+        if any_rows:
+            yield to_pdf(f)
+
+    def merge_within_partition(batches):
+        acc = None
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                g = from_row(row)
+                acc = g if acc is None else acc.merge(g)
+        if acc is not None:
+            yield to_pdf(acc)
+
+    partials = hashed.mapInPandas(per_partition, schema)
+    if hashed.rdd.getNumPartitions() > merge_fanin:
+        partials = partials.repartition(merge_fanin).mapInPandas(
+            merge_within_partition, schema
+        )
+    parts = partials.collect()
+    out = new_filter()
+    for row in parts:
+        out = out.merge(from_row(row))
+    # observability for the driver-traffic bound: with the merge stage,
+    # len(parts) ≤ merge_fanin no matter how many partitions the scan had
+    out.n_collected_tables = len(parts)
+    return out
+
+
 def build_bloom(
     df: DataFrame,
     key: str = "url_norm",
@@ -77,55 +143,23 @@ def build_bloom(
     merge_fanin: int = BLOOM_MERGE_FANIN,
     hash_col: str | None = None,
 ) -> BloomFilterSet:
-    """Distributed build: per-partition numpy bitsets via mapInPandas
-    (SURVEY.md §4 custom-work item 1). On wide inputs the bitsets are
-    tree-merged: a second mapInPandas stage ORs them within
-    ``merge_fanin`` groups executor-side, so the driver collects at most
-    ``merge_fanin`` bitsets however many partitions the scan has — on a
-    10k-partition cluster that is ~32 MiB through the driver instead of
-    ~10 GiB. OR is associative/commutative, so the result is bit-identical
-    to the single-level merge.
-
-    ``hash_col``: name of a column already holding ``xxhash64(key)`` (the
-    seen table materializes ``url_hash`` at every append) — the build then
-    scans the stored longs instead of re-hashing every key string per
-    iteration, and the parquet scan prunes to that one column."""
-    if hash_col is not None:
-        hashed = df.select(F.col(hash_col).alias("h"))
-    else:
-        hashed = df.select(F.xxhash64(F.col(key)).alias("h"))
-
-    def per_partition(batches):
-        bf = BloomFilterSet(num_bits, num_hashes)
-        any_rows = False
-        for pdf in batches:
-            if len(pdf):
-                any_rows = True
-                bf.add(pdf["h"].to_numpy())
-        if any_rows:
-            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
-
-    def or_within_partition(batches):
-        acc: np.ndarray | None = None
-        for pdf in batches:
-            for raw in pdf["bits"]:
-                b = np.frombuffer(raw, dtype=np.uint8)
-                acc = b.copy() if acc is None else (acc | b)
-        if acc is not None:
-            yield pd.DataFrame({"bits": [acc.tobytes()]})
-
-    partials = hashed.mapInPandas(per_partition, "bits binary")
-    if hashed.rdd.getNumPartitions() > merge_fanin:
-        partials = partials.repartition(merge_fanin).mapInPandas(
-            or_within_partition, "bits binary"
-        )
-    parts = partials.collect()
-    out = BloomFilterSet(num_bits, num_hashes)
-    for row in parts:
-        out.bits |= np.frombuffer(row.bits, dtype=np.uint8)
-    # observability for the driver-traffic bound: with the merge stage,
-    # len(parts) ≤ merge_fanin no matter how many partitions the scan had
-    out.n_collected_bitsets = len(parts)
+    """Distributed bloom build (SURVEY.md §4 custom-work item 1) over the
+    shared ``build_filter_distributed`` protocol — OR is associative and
+    commutative, so the tree-merged result is bit-identical to a
+    single-level merge."""
+    out = build_filter_distributed(
+        df,
+        key,
+        hash_col,
+        new_filter=lambda: BloomFilterSet(num_bits, num_hashes),
+        to_pdf=lambda f: pd.DataFrame({"bits": [f.bits.tobytes()]}),
+        from_row=lambda row: BloomFilterSet(
+            num_bits, num_hashes, np.frombuffer(row.bits, dtype=np.uint8)
+        ),
+        schema="bits binary",
+        merge_fanin=merge_fanin,
+    )
+    out.n_collected_bitsets = out.n_collected_tables  # historical alias
     return out
 
 

@@ -93,7 +93,14 @@ class CrawlConfig:
     # visit order and seen set are byte-identical under either backend.
     seen_filter: str = "bloom"
     bloom_bits: int = 1 << 23
-    cuckoo_buckets: int = 1 << 19  # x4 slots ~= 2M keys at 0.95 load
+    # initial cuckoo size: x4 slots ≈ 1.76M keys at the paper's 0.84
+    # safe-load watermark (operators/cuckoo.py SAFE_LOAD). A dial, not a
+    # cap — the crawl auto-grows past it: full builds size at
+    # buckets_for(n_seen) and a filter whose load crosses the watermark
+    # after an incremental merge is rebuilt at the next power of two, so
+    # the saturated-table regime (eviction-chain exhaustion, unbounded
+    # overflow spill) is never entered no matter how long the crawl runs
+    cuckoo_buckets: int = 1 << 19
     # fetch join: broadcast the frontier slice only below this row count —
     # an unbudgeted iteration (iteration_budget=None, huge max_pages) must
     # degrade to a shuffle join instead of OOMing the driver with a hinted
@@ -151,6 +158,13 @@ class CrawlRun:
         self.robots = robots
         self.seeds = seeds
         self.config = config or CrawlConfig()
+        if self.config.seen_filter not in ("bloom", "cuckoo"):
+            # fail at construction, not at the first over-threshold
+            # iteration minutes into a run
+            raise ValueError(
+                f"unknown seen_filter: {self.config.seen_filter!r} "
+                "(expected 'bloom' or 'cuckoo')"
+            )
         self.t_frontier = SnapshotTable(os.path.join(workdir, "frontier"))
         self.t_seen = SnapshotTable(os.path.join(workdir, "seen"))
         self.t_results = SnapshotTable(os.path.join(workdir, "results"))
@@ -171,6 +185,11 @@ class CrawlRun:
         # passes through the exact anti-join); it can never be missing a
         # committed key (the merge precedes the commit point)
         self._seen_filter = None
+        # current cuckoo geometry dial: starts at the config value, grows
+        # (never shrinks) when a full build sizes for a larger seen set or
+        # an incremental merge pushes the load factor past the safe
+        # watermark — see _filter_build_full / the post-merge grow check
+        self._cuckoo_num_buckets = self.config.cuckoo_buckets
         # every frame run_iteration persists, so the failure path can
         # release them too — without this a raise mid-iteration (fetch
         # error, commit race, fail-loud fan-out guard) strands up to six
@@ -219,6 +238,97 @@ class CrawlRun:
                 self._bloom_bc.destroy()
             finally:
                 self._bloom_bc = None
+
+    # -- seen-filter backend dispatch ------------------------------------------
+    # ONE decision surface for cfg.seen_filter so the build / incremental /
+    # probe paths cannot drift apart: every backend-conditional in the
+    # iteration goes through these four helpers.
+
+    def _filter_build_full(self, seen_df, n_seen: int):
+        """Full O(n_seen) build — once per process (first threshold
+        crossing, resume, or post-grow rebuild). The cuckoo sizes itself
+        for the CURRENT cardinality (never below the config dial, never
+        shrinking), so a resume against a seen set that outgrew the dial
+        starts at a healthy load factor instead of a saturated table."""
+        if self.config.seen_filter == "cuckoo":
+            from crawl4ai_spark.operators.cuckoo import (
+                build_cuckoo,
+                buckets_for,
+            )
+
+            self._cuckoo_num_buckets = max(
+                self._cuckoo_num_buckets, buckets_for(n_seen)
+            )
+            return build_cuckoo(
+                seen_df,
+                num_buckets=self._cuckoo_num_buckets,
+                hash_col="url_hash",
+            )
+        return build_bloom(
+            seen_df, num_bits=self.config.bloom_bits, hash_col="url_hash"
+        )
+
+    def _filter_build_partial(self, new_df):
+        """O(new) build of ONLY this iteration's keys, at the live
+        filter's exact geometry (merge requires it — the full build may
+        have sized past the config dial)."""
+        cur = self._seen_filter
+        if self.config.seen_filter == "cuckoo":
+            from crawl4ai_spark.operators.cuckoo import build_cuckoo
+
+            return build_cuckoo(
+                new_df, num_buckets=cur.num_buckets, hash_col="url_hash"
+            )
+        return build_bloom(
+            new_df,
+            num_bits=cur.num_bits,
+            num_hashes=cur.num_hashes,
+            hash_col="url_hash",
+        )
+
+    def _filter_payload(self):
+        """Serialized filter state for the per-iteration broadcast."""
+        if self.config.seen_filter == "cuckoo":
+            return self._seen_filter.to_bytes()
+        return self._seen_filter.bits.tobytes()
+
+    def _filter_probe_col(self):
+        """Probe Column over the current broadcast (``self._bloom_bc``)."""
+        if self.config.seen_filter == "cuckoo":
+            from crawl4ai_spark.operators.cuckoo import (
+                cuckoo_maybe_contains_col,
+            )
+
+            return cuckoo_maybe_contains_col(
+                self.spark,
+                self._seen_filter,
+                F.col("url_norm"),
+                state_bc=self._bloom_bc,
+            )
+        from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
+
+        return bloom_maybe_contains_col(
+            self.spark,
+            self._seen_filter,
+            F.col("url_norm"),
+            bits_bc=self._bloom_bc,
+        )
+
+    def _filter_grow_check(self) -> None:
+        """Post-merge saturation check (cuckoo only — a bloom degrades
+        gracefully to a higher FPP, a saturated cuckoo falls off a cliff:
+        scalar eviction chains + unbounded overflow spill). Crossing the
+        watermark drops the in-memory filter and doubles the geometry
+        dial, so the NEXT iteration's full rebuild — O(total), but at
+        geometrically-spaced sizes, hence amortized O(1) per key — starts
+        from a healthy load factor."""
+        if (
+            self.config.seen_filter == "cuckoo"
+            and self._seen_filter is not None
+            and self._seen_filter.needs_grow()
+        ):
+            self._cuckoo_num_buckets = 2 * self._seen_filter.num_buckets
+            self._seen_filter = None
 
     # -- state ---------------------------------------------------------------
 
@@ -660,51 +770,23 @@ class CrawlRun:
         seen_df = self.t_seen.read(self.spark)
         flagged = None
         if seen_df is not None and st["n_seen"] >= cfg.bloom_min_seen:
-            self._destroy_bloom_bc()  # paranoia: a prior failed iteration
-            if cfg.seen_filter == "cuckoo":
-                from crawl4ai_spark.operators.cuckoo import (
-                    build_cuckoo,
-                    cuckoo_maybe_contains_col,
+            if self._seen_filter is None:
+                # INCREMENTAL maintenance: this full O(n_seen) build runs
+                # once per process (first threshold crossing, resume, or a
+                # post-grow rebuild); afterwards each iteration merges in
+                # only its own new keys (see the partial build below), so
+                # the per-iteration filter cost is O(new), not O(total) —
+                # at a 10^10-URL seen set the difference is the whole job.
+                # The seen table stores url_hash = xxhash64(url_norm) at
+                # every append precisely so these builds scan 8-byte longs
+                # (one pruned column) instead of re-hashing url strings.
+                self._seen_filter = self._filter_build_full(
+                    seen_df, st["n_seen"]
                 )
-
-                if self._seen_filter is None:
-                    # INCREMENTAL maintenance: this full O(n_seen) build
-                    # runs ONCE per process (first threshold crossing, or
-                    # resume); afterwards each iteration merges in only its
-                    # own new keys (see the partial build below), so the
-                    # per-iteration filter cost is O(new), not O(total) —
-                    # at a 10^10-URL seen set the difference is the whole
-                    # job. The seen table stores url_hash = xxhash64(
-                    # url_norm) at every append precisely so these builds
-                    # scan 8-byte longs (one pruned column) instead of
-                    # re-hashing url strings.
-                    self._seen_filter = build_cuckoo(
-                        seen_df, num_buckets=cfg.cuckoo_buckets,
-                        hash_col="url_hash",
-                    )
-                self._bloom_bc = self.spark.sparkContext.broadcast(
-                    self._seen_filter.to_bytes()
-                )
-                probe = cuckoo_maybe_contains_col(
-                    self.spark, self._seen_filter, F.col("url_norm"),
-                    state_bc=self._bloom_bc,
-                )
-            elif cfg.seen_filter == "bloom":
-                from crawl4ai_spark.operators.seen import bloom_maybe_contains_col
-
-                if self._seen_filter is None:
-                    self._seen_filter = build_bloom(
-                        seen_df, num_bits=cfg.bloom_bits, hash_col="url_hash"
-                    )
-                self._bloom_bc = self.spark.sparkContext.broadcast(
-                    self._seen_filter.bits.tobytes()
-                )
-                probe = bloom_maybe_contains_col(
-                    self.spark, self._seen_filter, F.col("url_norm"),
-                    bits_bc=self._bloom_bc,
-                )
-            else:
-                raise ValueError(f"unknown seen_filter: {cfg.seen_filter!r}")
+            self._bloom_bc = self.spark.sparkContext.broadcast(
+                self._filter_payload()
+            )
+            probe = self._filter_probe_col()
             # pre-compute the filter probe ONCE under a persist: the split
             # inside dedup_against_seen consumes the candidate plan twice,
             # and without this boundary the Arrow probe UDF (plus the
@@ -867,18 +949,15 @@ class CrawlRun:
             # the filter, and a missing key skips the join: a duplicate
             # crawl. A process restart drops the object entirely and the
             # resume path rebuilds it full, once.
-            if cfg.seen_filter == "cuckoo":
-                from crawl4ai_spark.operators.cuckoo import build_cuckoo
-
-                partial = build_cuckoo(
-                    seen_append, num_buckets=cfg.cuckoo_buckets,
-                    hash_col="url_hash",
-                )
-            else:
-                partial = build_bloom(
-                    seen_append, num_bits=cfg.bloom_bits, hash_col="url_hash"
-                )
-            self._seen_filter = self._seen_filter.merge(partial)
+            self._seen_filter = self._seen_filter.merge(
+                self._filter_build_partial(seen_append)
+            )
+            # a merge that pushes the cuckoo past its safe load factor
+            # drops the filter and doubles the geometry dial — the next
+            # iteration full-rebuilds at the larger size instead of
+            # degrading into the saturated-table regime (scalar eviction
+            # chains, unbounded overflow spill)
+            self._filter_grow_check()
         # two-phase commit across independent tables (separate manifests):
         # the Spark DATA writes run concurrently into invisible staging
         # dirs (commit wall time = slowest write, not the sum), then the
