@@ -57,6 +57,7 @@ from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,6 +140,14 @@ class CrawlConfig:
 
 def _zero_scorer(url_col):
     return F.lit(0.0)
+
+
+def _parts(n: int) -> int:
+    """Coalesce small snapshot writes: a snapshot read at iteration k
+    unions k data dirs, so file count per dir must track data size, not
+    shuffle parallelism (at cluster scale the same knob is Iceberg
+    write.target-file-size)."""
+    return max(1, min(32, n // 50_000 + 1))
 
 
 class CrawlRun:
@@ -908,13 +917,6 @@ class CrawlRun:
             lineage_tbl, {"iteration": iteration}, durable=False
         )
 
-        # coalesce small snapshot appends: a snapshot read at iteration k
-        # unions k data dirs, so file count per dir must track data size,
-        # not shuffle parallelism (at cluster scale the same knob is Iceberg
-        # write.target-file-size)
-        def _parts(n: int) -> int:
-            return max(1, min(32, n // 50_000 + 1))
-
         if n_deferred == 0:
             # the whole frontier was selected (the common steady state under
             # a generous budget) — nothing is deferred, so the next frontier
@@ -1064,6 +1066,88 @@ class CrawlRun:
 
     def seen(self) -> DataFrame | None:
         return self.t_seen.read(self.spark)
+
+    def expire_seen(self, condition) -> dict:
+        """TTL/recrawl expiry — the Spark restatement of the reference's
+        cache invalidation (cache_context.py CacheMode read/write gating;
+        async_database.py:495-526 aclear_db/aflush_db): remove matching
+        URLs from the seen set so the crawl RE-crawls them on their next
+        discovery. ``condition`` is a Column over the seen table's columns
+        (``url_norm``, ``url_hash``, ``depth``, ``first_iter``) — e.g.
+        ``F.col("first_iter") <= k`` recrawls everything discovered up to
+        iteration k, the snapshot-table analogue of a TTL.
+
+        Call BETWEEN iterations (CrawlRun is not concurrent). One commit:
+        the survivor set REPLACES the seen table (snapshot history keeps
+        the old set for time travel), tagged with the last COMPLETED
+        iteration so crash-resume reconciliation never rolls it back.
+        Results and lineage stay append-only — a re-crawled URL appends a
+        fresh capture with a new visit_order, it does not rewrite history
+        — and ``read_since`` tailers on the seen table fail loud on the
+        rebuild, as any replace does. The frontier manifest's ``n_seen``
+        counter intentionally keeps counting historical inserts: it feeds
+        only sizing heuristics (filter geometry, file counts, the
+        ``bloom_min_seen`` threshold), where an upper bound errs roomy,
+        never wrong; the exact survivor count is recorded on the seen
+        replace's own meta.
+
+        In-memory filter maintenance is where the backend trade shows:
+        the cuckoo DELETES the expired keys in place — O(expired) numpy
+        work, no rebuild, the operation that justifies the backend — while
+        the bloom (which cannot delete) is dropped and full-rebuilds over
+        the survivors at the next iteration. Either way correctness never
+        depends on it: a stale filter positive only routes a candidate
+        through the exact anti-join, which now misses, so the URL is
+        re-crawled. The expired url_hash collect is driver-bounded by
+        8 bytes × n_expired — same order as the driver-resident filter
+        itself.
+
+        Returns ``{"n_expired": int, "n_seen": int}`` (survivor count)."""
+        seen_df = self.t_seen.read(self.spark)
+        if seen_df is None:
+            return {"n_expired": 0, "n_seen": 0}
+        st = self.state()
+        cond = F.coalesce(condition, F.lit(False))  # null ⇒ keep, not drop
+        expired = seen_df.filter(cond)
+        # never expire a URL still PENDING in the frontier: its seen entry
+        # is what stops a rediscovery from queueing it a second time while
+        # the first copy waits — expiring it would double-fetch. Recrawl
+        # semantics target URLs whose capture already landed.
+        frontier_df = self.t_frontier.read(self.spark)
+        if frontier_df is not None:
+            expired = expired.join(
+                frontier_df.select("url_norm"), "url_norm", "left_anti"
+            )
+        expired = expired.persist()
+        try:
+            n_expired = expired.count()
+            n_seen = max(st["n_seen"] - n_expired, 0)
+            if n_expired == 0:
+                return {"n_expired": 0, "n_seen": st["n_seen"]}
+            survivors = seen_df.join(
+                expired.select("url_norm"), "url_norm", "left_anti"
+            )
+            staged = self.t_seen.stage(
+                survivors.coalesce(_parts(max(n_seen, 1)))
+            )
+            self.t_seen.commit_staged(
+                staged,
+                {"iteration": st["iteration"] - 1, "n_expired": n_expired,
+                 "n_seen": n_seen},
+                mode="replace",
+            )
+            if self._seen_filter is not None:
+                if self.config.seen_filter == "cuckoo":
+                    hashes = np.array(
+                        [r.url_hash for r in expired.select("url_hash").collect()],
+                        dtype=np.int64,
+                    )
+                    self._seen_filter.delete(hashes)
+                else:
+                    self._seen_filter = None
+            return {"n_expired": n_expired, "n_seen": n_seen}
+        finally:
+            expired.unpersist()
 
     def lineage(self) -> DataFrame | None:
         return self.t_lineage.read(self.spark)

@@ -237,6 +237,71 @@ def test_probe_column_matches_filter(spark, pages):
     assert all(r.maybe for r in got)
 
 
+def test_expire_seen_recrawls_and_preserves_survivors(spark, pages):
+    """TTL/recrawl expiry (the reference's cache invalidation,
+    cache_context.py + async_database.py aclear_db, restated over
+    snapshot tables): expiring seen URLs between iterations makes the
+    crawl RE-crawl them on rediscovery — and under the cuckoo backend the
+    in-memory filter is maintained by in-place DELETION (no rebuild),
+    which must never disturb survivor membership (a lost survivor key is
+    only a wasted join probe, but a false negative in the sense that
+    matters here is a survivor the filter forgets — impossible for
+    inserted keys by the cuckoo contract, asserted below)."""
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
+
+    for kind in ("cuckoo", "bloom"):
+        cfg = CrawlConfig(
+            mode="bfs",
+            max_pages=100000,
+            max_depth=10,
+            host_budget=100000,
+            salt=4,
+            include_external=True,
+            bloom_min_seen=0,
+            seen_filter=kind,
+            cuckoo_buckets=1 << 12,
+        )
+        wd = tempfile.mkdtemp(prefix=f"expire_{kind}_")
+        run = CrawlRun(spark, pages, build_robots(spark), build_seeds(spark, 2), wd, cfg)
+        run.run(max_iterations=2)
+        seen_before = {r.url_norm for r in run.seen().select("url_norm").collect()}
+        n_results_before = run.results().count()
+        # expire every CRAWLED url (frontier residents are protected)
+        out = run.expire_seen(F.lit(True))
+        assert out["n_expired"] > 0
+        survivors = {r.url_norm for r in run.seen().select("url_norm").collect()}
+        assert len(survivors) == len(seen_before) - out["n_expired"]
+        frontier_urls = {
+            r.url_norm
+            for r in run.t_frontier.read(spark).select("url_norm").collect()
+        }
+        assert survivors == seen_before & frontier_urls  # exactly the pending
+        if kind == "cuckoo":
+            # in-place delete kept every survivor key (no rebuild happened)
+            assert run._seen_filter is not None
+            surv_hashes = np.array(
+                [r.url_hash for r in run.seen().select("url_hash").collect()],
+                dtype=np.int64,
+            )
+            if len(surv_hashes):
+                assert run._seen_filter.maybe_contains(surv_hashes).all()
+        else:
+            assert run._seen_filter is None  # blooms cannot delete → rebuild
+        # continue crawling: rediscovered expired urls must be RE-crawled
+        run.run(max_iterations=2)
+        res = run.results().select("url").collect()
+        urls = [r.url for r in res]
+        assert len(urls) > n_results_before
+        assert len(urls) > len(set(urls)), "no url was re-crawled after expiry"
+        # crash-resume safety: a fresh CrawlRun must see the post-expiry
+        # seen set (reconciliation must not roll the replace back)
+        resumed = CrawlRun(
+            spark, pages, build_robots(spark), build_seeds(spark, 2), wd, cfg
+        )
+        assert resumed.seen().count() == run.seen().count()
+
+
 def test_crawl_backend_equivalence(spark, pages):
     """The north rule's 'bloom/cuckoo' backends must be interchangeable,
     and the pre-filter must not change results at all: both are
