@@ -1103,10 +1103,19 @@ class CrawlRun:
         itself.
 
         Returns ``{"n_expired": int, "n_seen": int}`` (survivor count)."""
+        st = self.state()
+        if st["iteration"] >= 0:
+            # reconcile FIRST, exactly as run_iteration does on entry: a
+            # crashed iteration may have committed its seen append without
+            # reaching the frontier WAL tip, and expiring over that state
+            # would bake the orphan rows into a rollback-proof replace —
+            # the re-run iteration's candidates would then anti-join away
+            # and never be crawled. Rolling the orphans back first keeps
+            # the replace a pure function of durable state.
+            self._reconcile(st["iteration"])
         seen_df = self.t_seen.read(self.spark)
         if seen_df is None:
             return {"n_expired": 0, "n_seen": 0}
-        st = self.state()
         cond = F.coalesce(condition, F.lit(False))  # null ⇒ keep, not drop
         expired = seen_df.filter(cond)
         # never expire a URL still PENDING in the frontier: its seen entry
@@ -1119,14 +1128,21 @@ class CrawlRun:
                 frontier_df.select("url_norm"), "url_norm", "left_anti"
             )
         expired = expired.persist()
+        survivors = None
         try:
             n_expired = expired.count()
-            n_seen = max(st["n_seen"] - n_expired, 0)
             if n_expired == 0:
                 return {"n_expired": 0, "n_seen": st["n_seen"]}
             survivors = seen_df.join(
                 expired.select("url_norm"), "url_norm", "left_anti"
-            )
+            ).persist()
+            # the EXACT survivor count — st["n_seen"] is only an upper
+            # bound (it keeps counting historical inserts across prior
+            # expiries), so subtracting from it would overstate after the
+            # second expiry; one count job on a maintenance op is the
+            # honest price, and the persist means the staged write below
+            # reuses the materialization instead of re-running the joins
+            n_seen = survivors.count()
             staged = self.t_seen.stage(
                 survivors.coalesce(_parts(max(n_seen, 1)))
             )
@@ -1148,6 +1164,8 @@ class CrawlRun:
             return {"n_expired": n_expired, "n_seen": n_seen}
         finally:
             expired.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
 
     def lineage(self) -> DataFrame | None:
         return self.t_lineage.read(self.spark)

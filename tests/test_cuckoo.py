@@ -294,12 +294,62 @@ def test_expire_seen_recrawls_and_preserves_survivors(spark, pages):
         urls = [r.url for r in res]
         assert len(urls) > n_results_before
         assert len(urls) > len(set(urls)), "no url was re-crawled after expiry"
-        # crash-resume safety: a fresh CrawlRun must see the post-expiry
-        # seen set (reconciliation must not roll the replace back)
+        # crash-resume safety, made to bite: run the reconciliation a
+        # resume actually performs (rollback_trailing against the WAL
+        # tip) and assert it does NOT roll the expiry replace back — a
+        # replace mistagged at/past the next iteration would be popped
+        # here and the seen set would revert
         resumed = CrawlRun(
             spark, pages, build_robots(spark), build_seeds(spark, 2), wd, cfg
         )
-        assert resumed.seen().count() == run.seen().count()
+        post = {r.url_norm for r in run.seen().select("url_norm").collect()}
+        resumed._reconcile(resumed.state()["iteration"])
+        post_reconcile = {
+            r.url_norm for r in resumed.seen().select("url_norm").collect()
+        }
+        assert post_reconcile == post
+
+
+def test_expire_seen_reconciles_crashed_iteration_first(spark, pages):
+    """A crashed iteration can leave an orphan seen append (committed
+    seen, never reached the frontier WAL tip). expire_seen must roll it
+    back BEFORE filtering — otherwise the orphan rows bake into the
+    rollback-proof replace and the re-run iteration's candidates
+    anti-join away against them: URLs silently never crawled."""
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.synthetic import build_robots, build_seeds
+
+    cfg = CrawlConfig(
+        mode="bfs", max_pages=100000, max_depth=10, host_budget=100000,
+        salt=4, include_external=True, bloom_min_seen=0,
+        seen_filter="cuckoo", cuckoo_buckets=1 << 12,
+    )
+    wd = tempfile.mkdtemp(prefix="expire_orphan_")
+    run = CrawlRun(spark, pages, build_robots(spark), build_seeds(spark, 2), wd, cfg)
+    run.run(max_iterations=2)
+    nxt = run.state()["iteration"]
+    # simulate the crash window: a seen append tagged with the iteration
+    # about to run, committed non-durable (exactly what the two-phase
+    # commit leaves behind when the frontier replace never lands)
+    orphan = run.spark.createDataFrame(
+        [("https://orphan.example/x", 1234567, 1, 99)],
+        "url_norm string, url_hash long, depth int, first_iter int",
+    )
+    run.t_seen.append(orphan, {"iteration": nxt}, durable=False)
+    # expire with a condition that matches REAL rows (the crawled seeds)
+    # but not the orphan: the replace path runs, and without the
+    # reconcile-first fix the orphan would survive into the replace
+    out = run.expire_seen(F.col("first_iter") <= 0)
+    assert out["n_expired"] > 0
+    seen_urls = {r.url_norm for r in run.seen().select("url_norm").collect()}
+    assert "https://orphan.example/x" not in seen_urls, (
+        "orphan seen rows laundered into the expiry replace"
+    )
+    assert out["n_seen"] == len(seen_urls)
+    # consecutive expiries report the EXACT survivor count, not the
+    # historical-upper-bound subtraction
+    out2 = run.expire_seen(F.lit(True))
+    assert out2["n_seen"] == run.seen().count()
 
 
 def test_crawl_backend_equivalence(spark, pages):
