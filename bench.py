@@ -232,6 +232,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "minhash_bucketed_pairs_100k",
         lambda: _count(minhash_pairs_from_tables(spark, "bench_mh", threshold=0.5)),
     )
+    # the daily-increment pattern: dedup a 5k batch against the 100k
+    # bucketed corpus WITHOUT recomputing its signatures — O(batch)
+    # compute + an exchange-free corpus scan. The structural claim this
+    # entry evidences: increment cost tracks the batch, not the corpus
+    # (compare to dedup_minhash_xxhash64_100k, the from-scratch price).
+    from crawl4ai_spark.datapipe.dedup import minhash_pairs_increment
+
+    inc_batch = big.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit(" "), "text").alias("text"),
+    )
+    timed(
+        "minhash_increment_5k_vs_100k",
+        lambda: _count(
+            minhash_pairs_increment(spark, inc_batch, "bench_mh",
+                                    hash_fn=F.xxhash64, threshold=0.5)
+        ),
+    )
 
     # cleaning tier at 100k: the gopher quality+repetition screens, C4 line
     # cleaning, PII redaction (all shuffle-free Catalyst over the doc), and

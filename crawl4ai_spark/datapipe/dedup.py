@@ -446,16 +446,205 @@ def write_minhash_tables(
     )
     # band_id FOLDED into the key (single-column bucketed equi-join);
     # sig_fp rides along for the reader's hot-bucket guard
-    banded = _banded_from_signatures(sig_df, bands, rows, hash_fn).select(
+    banded = _fold_band_select(
+        _banded_from_signatures(sig_df, bands, rows, hash_fn)
+    )
+    (
+        banded.repartition(buckets, F.col("band_key"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(f"{name_prefix}_bands")
+    )
+
+
+def _folded_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    hash_fn: Callable[[Column], Column],
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle frame, folded band frame) for a doc batch — the exact
+    construction ``write_minhash_tables`` persists, shared so the
+    incremental path can never band differently than the tables it joins
+    against. The band_id is FOLDED into the key (xxhash64 of
+    band_id:slice-key) to match the single-column bucketed layout;
+    cross-band fold collisions are harmless (every candidate pair is
+    verified by exact Jaccard)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — a remainder silently drops signature values"
+        )
+    rows = num_hashes // bands
+    sh = _shingle_frame(df, id_col, text_col, k)
+    banded = _fold_band_select(
+        _banded_from_signatures(
+            _signatures_from_shingles(sh, num_hashes, hash_fn), bands, rows, hash_fn
+        )
+    )
+    return sh, banded
+
+
+def _fold_band_select(banded: DataFrame) -> DataFrame:
+    """Fold band_id into the key (xxhash64 of band_id:slice-key) — the ONE
+    spelling of the persisted single-column bucketed layout, shared by the
+    table writer, the appender, and the incremental path so they can never
+    band differently. Cross-band fold collisions are harmless: every
+    candidate pair is verified by exact Jaccard."""
+    return banded.select(
         "doc_id",
         "sig_fp",
         F.xxhash64(F.concat_ws(":", F.col("band_id"), F.col("band_key"))).alias(
             "band_key"
         ),
     )
+
+
+def minhash_pairs_increment(
+    spark,
+    new_docs: DataFrame,
+    name_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+    threshold: float = 0.5,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new doc batch, against the pre-bucketed
+    corpus tables written by ``write_minhash_tables`` — the daily-increment
+    production pattern at 10^10 docs: the corpus' shingles and signatures
+    are NEVER recomputed, and the corpus side of every join is
+    exchange-free on the bucket layout (plan-asserted in
+    test_plan_quality), so an increment costs O(batch) compute plus one
+    exchange-free scan of the narrow band/shingle tables — not the
+    O(corpus) signature rebuild a from-scratch run pays.
+
+    Returns (id_a, id_b, jaccard ≥ threshold) pairs where at least one
+    side is a new doc, ordered id_a < id_b — exactly the from-scratch
+    pairs over (corpus ∪ batch) restricted to pairs touching the batch
+    (differential-tested). Caller contract: batch doc ids are disjoint
+    from the corpus'. The intra-batch self-join takes the hot-bucket star
+    guard; the cross join is output-bound (a new doc landing in a
+    B-member bucket yields at most B candidate pairs — linear, no O(B²)
+    blowup to guard). Grow the corpus afterwards with
+    ``append_minhash_tables`` (AFTER consuming these pairs — the plan is
+    lazy and must not see its own appends).
+
+    Parameters mirror ``write_minhash_tables`` and must match the values
+    the tables were written with, ``hash_fn`` included."""
+    sc = spark.sparkContext
+    nparts = max(new_docs.rdd.getNumPartitions(), sc.defaultParallelism)
+    sh_new, banded_new = _folded_bands(
+        new_docs.repartition(nparts), id_col, text_col, k, num_hashes, bands,
+        hash_fn,
+    )
+    # three consumers (cross join, intra self-join via the guard's window,
+    # and the verify joins) — cache both batch frames
+    sh_new = sh_new.cache()
+    banded_new = banded_new.cache()
+    corpus_bands = spark.table(f"{name_prefix}_bands")
+    # cross candidates: corpus bucket members × batch rows sharing a band
+    # key. The corpus side reads its bucket layout directly — the ONLY
+    # exchange is the (small) batch side shuffling into the same
+    # partitioning.
+    cross = (
+        corpus_bands.select(F.col("doc_id").alias("_cid"), "band_key")
+        .join(
+            banded_new.select(F.col("doc_id").alias("_nid"), "band_key"),
+            "band_key",
+        )
+        .filter(F.col("_cid") != F.col("_nid"))
+        .select(
+            F.least("_cid", "_nid").alias("id_a"),
+            F.greatest("_cid", "_nid").alias("id_b"),
+        )
+    )
+    intra = _guarded_band_candidates(banded_new, ["band_key"], hot_bucket_cap)
+    cand = cross.unionByName(intra.select("id_a", "id_b")).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    # verify: resolve each side's shingles from EITHER store — the corpus
+    # table (bucketed by doc_id, co-located join) or the cached batch
+    # frame (small ⇒ broadcast) — without unioning them, which would
+    # discard the corpus side's bucket metadata and force an exchange
+    corpus_sh = spark.table(f"{name_prefix}_shingles")
+    verified = cand
+    for side in ("id_a", "id_b"):
+        verified = (
+            verified.join(
+                corpus_sh.select(
+                    F.col("doc_id").alias(side),
+                    F.col("shingles").alias(f"_c_{side}"),
+                ),
+                side,
+                "left",
+            )
+            .join(
+                sh_new.select(
+                    F.col("doc_id").alias(side),
+                    F.col("shingles").alias(f"_n_{side}"),
+                ),
+                side,
+                "left",
+            )
+            .withColumn(
+                f"_sh_{side}", F.coalesce(F.col(f"_n_{side}"), F.col(f"_c_{side}"))
+            )
+            .drop(f"_c_{side}", f"_n_{side}")
+        )
+    return (
+        verified.withColumn(
+            "jaccard", jaccard_col(F.col("_sh_id_a"), F.col("_sh_id_b"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def append_minhash_tables(
+    spark,
+    new_docs: DataFrame,
+    name_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+    buckets: int = 32,
+) -> None:
+    """Grow the bucketed corpus tables by a doc batch — O(batch) shingle +
+    signature work and one narrow batch-side exchange per table, after
+    which the next ``minhash_pairs_increment``/``minhash_pairs_from_tables``
+    sees the union corpus on the same exchange-free layout. Uses the
+    bucket-spec'd append (``bucketBy(...).mode("append").saveAsTable``) so
+    the new files land correctly bucketed — NOT ``insertInto``, which
+    silently ignores the bucket spec and would corrupt every later
+    bucket-aligned join. Call AFTER consuming the increment's pairs (its
+    plan is lazy and must not see these appends). Parameters (including
+    ``buckets``) must match the original ``write_minhash_tables`` call."""
+    sh, banded = _folded_bands(
+        new_docs, id_col, text_col, k, num_hashes, bands, hash_fn
+    )
+    (
+        sh.repartition(buckets, F.col("doc_id"))
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{name_prefix}_shingles")
+    )
     (
         banded.repartition(buckets, F.col("band_key"))
-        .write.mode("overwrite")
+        .write.mode("append")
         .format("parquet")
         .bucketBy(buckets, "band_key")
         .sortBy("band_key")

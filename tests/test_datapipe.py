@@ -715,6 +715,87 @@ def test_minhash_tables_without_sig_fp_still_readable(spark):
     assert got == want and (1, 2) in got
 
 
+def test_minhash_increment_matches_from_scratch_and_grows(spark, sf_dir):
+    """The daily-increment pattern: pairs from minhash_pairs_increment
+    against the pre-bucketed corpus tables must equal the from-scratch
+    pairs over (corpus ∪ batch) restricted to pairs touching the batch —
+    then append_minhash_tables grows the tables and (a) the full
+    from-tables read equals from-scratch over the union, (b) a SECOND
+    increment against the grown tables stays exact. Any mis-banding, fold
+    drift, or mis-bucketed append (insertInto-style) breaks one of the
+    three equalities."""
+    from crawl4ai_spark.datapipe.dedup import (
+        append_minhash_tables,
+        minhash_dedup_pairs,
+        minhash_pairs_from_tables,
+        minhash_pairs_increment,
+        write_minhash_tables,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+
+    def perturb(src, base):
+        return src.select(
+            (F.col("doc_id") + base).alias("doc_id"),
+            F.concat(F.lit(" "), "text", F.lit("  ")).alias("text"),
+        )
+
+    # batch 1: near-dups of corpus docs AND of other batch-1 docs
+    batch1 = perturb(corpus.filter(F.col("doc_id") % 2 == 0), 1_000_000).unionByName(
+        perturb(corpus.filter(F.col("doc_id") % 2 == 0), 2_000_000)
+    )
+    write_minhash_tables(corpus, "doc_id", "text", "t_inc", hash_fn=F.xxhash64,
+                         buckets=4)
+    inc1 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_pairs_increment(spark, batch1, "t_inc",
+                                         hash_fn=F.xxhash64).collect()
+    }
+    union1 = corpus.unionByName(batch1)
+    scratch1 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(union1, "doc_id", "text",
+                                     hash_fn=F.xxhash64).collect()
+        if r.id_a >= 1_000_000 or r.id_b >= 1_000_000
+    }
+    assert inc1 == scratch1 and len(inc1) > 0
+    # some pairs must be cross (corpus×batch) AND some intra-batch
+    assert any(a < 1_000_000 for a, _, _ in inc1)
+    assert any(a >= 1_000_000 for a, _, _ in inc1)
+
+    append_minhash_tables(spark, batch1, "t_inc", hash_fn=F.xxhash64, buckets=4)
+    grown = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_pairs_from_tables(spark, "t_inc",
+                                           hot_bucket_cap=None).collect()
+    }
+    scratch_all = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(union1, "doc_id", "text", hash_fn=F.xxhash64,
+                                     hot_bucket_cap=None).collect()
+    }
+    assert grown == scratch_all
+
+    batch2 = perturb(corpus.filter(F.col("doc_id") % 2 == 1), 3_000_000)
+    inc2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_pairs_increment(spark, batch2, "t_inc",
+                                         hash_fn=F.xxhash64).collect()
+    }
+    scratch2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(union1.unionByName(batch2), "doc_id", "text",
+                                     hash_fn=F.xxhash64).collect()
+        if r.id_a >= 3_000_000 or r.id_b >= 3_000_000
+    }
+    assert inc2 == scratch2 and len(inc2) > 0
+
+
 def test_ivf_centroids_skips_null_and_wrong_dim(spark):
     """Junk vectors (NULL, empty, wrong dimension) never crash the seed
     build or Lloyd refinement — the quantizer pins its dimension to the

@@ -190,6 +190,38 @@ def test_bucketed_minhash_band_join_is_exchange_free(spark, sf_dir):
     assert got == classic
 
 
+def test_minhash_increment_corpus_side_stays_bucketed(spark, sf_dir):
+    """The increment path's 100 TB contract: the corpus band table feeds
+    its join straight from the bucket layout (bucket-aware scan, no
+    corpus-side exchange) — only the BATCH side shuffles. The four
+    band_key exchanges in the plan all belong to the batch: the cross-join
+    shuffle into the corpus bucketing, the intra-batch guard window, and
+    the guard's two star legs. A corpus-side regression (losing the
+    bucket spec, e.g. an insertInto-style append) adds a fifth."""
+    from crawl4ai_spark.datapipe.dedup import (
+        minhash_pairs_increment,
+        write_minhash_tables,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 120")
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = corpus.filter("doc_id % 2 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(" "), "text").alias("text"),
+    )
+    write_minhash_tables(corpus, "doc_id", "text", "t_pq_inc",
+                         hash_fn=F.xxhash64, buckets=4)
+    out = minhash_pairs_increment(spark, batch, "t_pq_inc", hash_fn=F.xxhash64)
+    plan = _plan(out)
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning(band_key") <= 4, plan
+    assert out.count() > 0
+
+
 def test_ann_sheds_vectors_before_window(spark, sf_dir):
     from crawl4ai_spark.datapipe.similarity import ann_bruteforce_topk
 
