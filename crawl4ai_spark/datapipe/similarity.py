@@ -456,6 +456,73 @@ def write_ivf_table(
     salted_partition_write(
         assigned, path, [cell_col], F.col(id_col), files_per_cell
     )
+    # persist the quantizer BESIDE the data (underscore-prefixed ⇒ parquet
+    # readers skip it): probes and appends against this table must use the
+    # exact centroids it was assigned under, and a caller-side copy is the
+    # kind of state that gets lost between the write job and the query job
+    _write_ivf_centroids(path, centroids)
+
+
+def _centroids_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_ivf_centroids.json")
+
+
+def _write_ivf_centroids(
+    path: str, centroids: list[tuple[int, list[float]]]
+) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(_centroids_path(path), "w") as f:
+        # json roundtrips float64 exactly (repr-based), so the reader's
+        # cell assignment is bit-identical to the writer's
+        json.dump([[int(c), [float(x) for x in v]] for c, v in centroids], f)
+
+
+def read_ivf_centroids(path: str) -> list[tuple[int, list[float]]]:
+    """The quantizer a ``write_ivf_table`` table was assigned under —
+    required by ``ann_ivf_topk(cell_col=...)`` probes and
+    ``append_ivf_table`` growth."""
+    import json
+
+    with open(_centroids_path(path)) as f:
+        return [(int(c), [float(x) for x in v]) for c, v in json.load(f)]
+
+
+def append_ivf_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    files_per_cell: int = 4,
+) -> None:
+    """Grow an IVF table by a new vector batch — the ANN half of the
+    daily-increment pattern (``append_minhash_tables`` is the dedup half):
+    assign the batch under the table's PERSISTED quantizer (map-side
+    projection, no shuffle beyond the salted write exchange) and append
+    cell-partitioned files. Existing data is never rewritten and probe
+    partition pruning keeps working unchanged — a probe after N appends
+    reads only the probed cells' files across all generations. The
+    centroids are fixed at write time by design (re-clustering would
+    reassign the whole corpus); if the data distribution drifts far from
+    the original quantizer, cells skew and the remedy is a rebuild with
+    fresh centroids, same as any IVF index."""
+    from crawl4ai_spark.storage import salted_partition_write
+
+    centroids = read_ivf_centroids(path)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell_col(F.col(vec_col), centroids).alias(cell_col),
+    )
+    salted_partition_write(
+        assigned, path, [cell_col], F.col(id_col), files_per_cell,
+        mode="append",
+    )
 
 
 def ann_ivf_topk(

@@ -18,6 +18,7 @@ def salted_partition_write(
     salt_key: Column,
     files_per_partition: int,
     fmt: str = "parquet",
+    mode: str = "overwrite",
 ) -> None:
     """Write ``partitionBy(partition_cols)`` with the output file count
     bounded at ≤ (distinct partition values) × ``files_per_partition``.
@@ -30,10 +31,15 @@ def salted_partition_write(
     one shuffle task that owns it. The bound is a CEILING: slot hash
     collisions into one task merge files (one larger file per value that
     task sees), never multiply them. Salt on a row-id-like key so file
-    sizes within a partition value stay even regardless of content."""
+    sizes within a partition value stay even regardless of content.
+
+    ``mode="append"`` grows an existing table: each append adds at most
+    the same bounded file count per partition value, so N append
+    generations cap at N × the per-write ceiling (compact when file
+    counts matter more than append cost)."""
     out = df.repartition(
         *[F.col(c) for c in partition_cols],
         F.pmod(F.xxhash64(salt_key), F.lit(files_per_partition)),
     )
-    writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    writer = out.write.mode(mode).partitionBy(*partition_cols)
     getattr(writer, fmt)(path)

@@ -174,6 +174,48 @@ def test_ivf_table_probe_matches_inline_and_prunes_scan(spark, sf_dir, tmp_path)
         ann_ivf_topk(table, q, nprobe=2, k=4, cell_col="ivf_cell")
 
 
+def test_ivf_table_append_grows_exactly(spark, sf_dir, tmp_path):
+    """The ANN half of the daily-increment pattern: append_ivf_table adds
+    a vector batch under the table's PERSISTED quantizer, after which a
+    full-probe query over the grown table equals brute force over the
+    union — any assignment drift between write and append (lost
+    centroids, float roundtrip error) breaks the equality. Pruned probes
+    must keep their PartitionFilters across generations."""
+    from crawl4ai_spark.datapipe.similarity import (
+        ann_bruteforce_topk,
+        append_ivf_table,
+        read_ivf_centroids,
+        write_ivf_table,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old = e.filter("vec_id % 3 != 0")
+    batch = e.filter("vec_id % 3 = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    cents = ivf_centroids(old, 6, iters=1)
+    path = str(tmp_path / "ivf_grow")
+    write_ivf_table(old, path, cents)
+    assert read_ivf_centroids(path) == cents  # exact float roundtrip
+    append_ivf_table(batch, path)
+    table = spark.read.parquet(path)
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ann_ivf_topk(
+        table, q, nprobe=6, k=5, centroids=cents, cell_col="ivf_cell"
+    )
+    want = ann_bruteforce_topk(old.unionByName(batch), q, k=5)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    # pruning still works on the grown table
+    pruned = ann_ivf_topk(
+        table, q, nprobe=2, k=5, centroids=cents, cell_col="ivf_cell"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in seg and "IN" in seg.upper()
+
+
 def test_ivf_centroids_deterministic_and_lloyd(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(30)],
