@@ -239,8 +239,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # (compare to dedup_minhash_xxhash64_100k, the from-scratch price).
     from crawl4ai_spark.datapipe.dedup import minhash_pairs_increment
 
+    # offset far above the corpus id space (big's ids reach doc_id +
+    # 19×1M) — an overlapping offset would silently drop cross candidates
+    # through the disjoint-ids contract and verify against wrong texts
     inc_batch = big.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
         F.concat(F.lit(" "), "text").alias("text"),
     )
     timed(

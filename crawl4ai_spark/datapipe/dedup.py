@@ -374,6 +374,20 @@ def minhash_dedup_pairs(
 
 
 
+def _table_location(spark, name: str) -> str:
+    """Local filesystem path of a warehouse table (this sandbox runs a
+    local warehouse; on a cluster the catalog/Iceberg owns locations and
+    the callers below use its primitives instead)."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    return os.path.join(wh, name.lower())
+
+
 def _drop_table(spark, name: str) -> None:
     """DROP IF EXISTS plus location cleanup: the warehouse directory
     outlives the in-memory catalog, so a fresh session's overwrite would
@@ -382,13 +396,8 @@ def _drop_table(spark, name: str) -> None:
     import shutil
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    loc = os.path.join(wh, name.lower())
-    if wh and os.path.exists(loc):
+    loc = _table_location(spark, name)
+    if os.path.dirname(loc) and os.path.exists(loc):
         shutil.rmtree(loc, ignore_errors=True)
 
 
@@ -521,22 +530,31 @@ def minhash_pairs_increment(
     """Near-dup pairs INVOLVING a new doc batch, against the pre-bucketed
     corpus tables written by ``write_minhash_tables`` — the daily-increment
     production pattern at 10^10 docs: the corpus' shingles and signatures
-    are NEVER recomputed, and the corpus side of every join is
-    exchange-free on the bucket layout (plan-asserted in
-    test_plan_quality), so an increment costs O(batch) compute plus one
-    exchange-free scan of the narrow band/shingle tables — not the
+    are NEVER recomputed. The corpus band table is first narrowed to the
+    batch-TOUCHED buckets by a broadcast semi-join riding the scan (a
+    bucket the batch never lands in cannot produce a batch-touching
+    pair), so the only corpus rows that move are the ones a from-scratch
+    run would pair against anyway; the shingle-verify joins read the
+    doc_id-bucketed shingle table co-located. An increment costs O(batch)
+    signature compute + one narrow semi-filtered corpus scan — not the
     O(corpus) signature rebuild a from-scratch run pays.
 
-    Returns (id_a, id_b, jaccard ≥ threshold) pairs where at least one
-    side is a new doc, ordered id_a < id_b — exactly the from-scratch
-    pairs over (corpus ∪ batch) restricted to pairs touching the batch
-    (differential-tested). Caller contract: batch doc ids are disjoint
-    from the corpus'. The intra-batch self-join takes the hot-bucket star
-    guard; the cross join is output-bound (a new doc landing in a
-    B-member bucket yields at most B candidate pairs — linear, no O(B²)
-    blowup to guard). Grow the corpus afterwards with
-    ``append_minhash_tables`` (AFTER consuming these pairs — the plan is
-    lazy and must not see its own appends).
+    Candidates come from the SAME ``_guarded_band_candidates`` pass a
+    from-scratch run uses, applied to (touched corpus rows ∪ batch rows)
+    per bucket and then restricted to pairs touching the batch — so the
+    result EXACTLY equals the from-scratch pairs over (corpus ∪ batch)
+    restricted to the batch, under any ``hot_bucket_cap`` setting
+    (differential-tested, degenerate hot bucket included): an over-cap
+    union bucket emits the identical two-layer star both ways, never a
+    B×batch bipartite blowup. Returns (id_a, id_b, jaccard ≥ threshold),
+    id_a < id_b. Caller contract: batch doc ids are disjoint from the
+    corpus'. Grow the corpus afterwards with ``append_minhash_tables``
+    (AFTER consuming these pairs — the plan is lazy and must not see its
+    own appends). Long-running daily loops should
+    ``spark.catalog.clearCache()`` between increments: this call caches
+    the batch's shingle/band frames (and the guard its windowed bucket
+    table) for the multi-join plan, and the frames must stay cached while
+    the returned DataFrame is consumed.
 
     Parameters mirror ``write_minhash_tables`` and must match the values
     the tables were written with, ``hash_fn`` included."""
@@ -546,30 +564,48 @@ def minhash_pairs_increment(
         new_docs.repartition(nparts), id_col, text_col, k, num_hashes, bands,
         hash_fn,
     )
-    # three consumers (cross join, intra self-join via the guard's window,
-    # and the verify joins) — cache both batch frames
+    # multiple consumers (touched-bucket semi-join, union guard pass,
+    # verify joins, batch-side restriction) — cache both batch frames
     sh_new = sh_new.cache()
     banded_new = banded_new.cache()
     corpus_bands = spark.table(f"{name_prefix}_bands")
-    # cross candidates: corpus bucket members × batch rows sharing a band
-    # key. The corpus side reads its bucket layout directly — the ONLY
-    # exchange is the (small) batch side shuffling into the same
-    # partitioning.
-    cross = (
-        corpus_bands.select(F.col("doc_id").alias("_cid"), "band_key")
-        .join(
-            banded_new.select(F.col("doc_id").alias("_nid"), "band_key"),
-            "band_key",
-        )
-        .filter(F.col("_cid") != F.col("_nid"))
-        .select(
-            F.least("_cid", "_nid").alias("id_a"),
-            F.greatest("_cid", "_nid").alias("id_b"),
-        )
+    if "sig_fp" not in corpus_bands.columns:  # pre-guard table layout
+        corpus_bands = corpus_bands.withColumn("sig_fp", F.col("doc_id"))
+    touched = corpus_bands.select("doc_id", "sig_fp", "band_key").join(
+        F.broadcast(banded_new.select("band_key").distinct()),
+        "band_key",
+        "left_semi",
     )
-    intra = _guarded_band_candidates(banded_new, ["band_key"], hot_bucket_cap)
-    cand = cross.unionByName(intra.select("id_a", "id_b")).dropDuplicates(
-        ["id_a", "id_b"]
+    union_bands = touched.unionByName(
+        banded_new.select("doc_id", "sig_fp", "band_key")
+    )
+    cand_all = _guarded_band_candidates(union_bands, ["band_key"], hot_bucket_cap)
+    # restrict to pairs touching the batch in ONE pass (two broadcast
+    # left joins + an OR filter) — a semi-join per side would consume
+    # cand_all twice and duplicate the whole union+guard subtree in the
+    # plan; batch ids are distinct, so the left joins multiply no rows
+    new_ids = sh_new.select("doc_id")
+    cand = (
+        cand_all.join(
+            F.broadcast(
+                new_ids.select(
+                    F.col("doc_id").alias("id_a"), F.lit(True).alias("_new_a")
+                )
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                new_ids.select(
+                    F.col("doc_id").alias("id_b"), F.lit(True).alias("_new_b")
+                )
+            ),
+            "id_b",
+            "left",
+        )
+        .filter(F.col("_new_a").isNotNull() | F.col("_new_b").isNotNull())
+        .drop("_new_a", "_new_b")
     )
     # verify: resolve each side's shingles from EITHER store — the corpus
     # table (bucketed by doc_id, co-located join) or the cached batch
@@ -630,26 +666,61 @@ def append_minhash_tables(
     silently ignores the bucket spec and would corrupt every later
     bucket-aligned join. Call AFTER consuming the increment's pairs (its
     plan is lazy and must not see these appends). Parameters (including
-    ``buckets``) must match the original ``write_minhash_tables`` call."""
+    ``buckets``) must match the original ``write_minhash_tables`` call.
+
+    TORN-APPEND GUARD: the two table appends are not one transaction —
+    a crash between them would leave shingle rows with no band rows
+    (those docs silently never candidate again) and a blind retry would
+    double-append shingles (duplicate verified pairs). A pending-marker
+    beside the shingle table turns both outcomes into a loud error that
+    names the remedy (rebuild via ``write_minhash_tables``); on a real
+    cluster this guard is replaced by an Iceberg multi-table
+    transaction, exactly as the snapshot tables note for their commit
+    protocol."""
+    import os
+
+    marker = os.path.join(
+        _table_location(spark, f"{name_prefix}_shingles"), "_append_pending"
+    )
+    if os.path.exists(marker):
+        raise RuntimeError(
+            f"{name_prefix}: a previous append_minhash_tables did not "
+            "complete — the shingle/band tables may be torn (docs with "
+            "shingles but no bands never surface as candidates; retrying "
+            "would double-append). Rebuild with write_minhash_tables over "
+            "the full corpus."
+        )
+    sc = spark.sparkContext
+    nparts = max(new_docs.rdd.getNumPartitions(), sc.defaultParallelism)
     sh, banded = _folded_bands(
-        new_docs, id_col, text_col, k, num_hashes, bands, hash_fn
+        new_docs.repartition(nparts), id_col, text_col, k, num_hashes, bands,
+        hash_fn,
     )
-    (
-        sh.repartition(buckets, F.col("doc_id"))
-        .write.mode("append")
-        .format("parquet")
-        .bucketBy(buckets, "doc_id")
-        .sortBy("doc_id")
-        .saveAsTable(f"{name_prefix}_shingles")
-    )
-    (
-        banded.repartition(buckets, F.col("band_key"))
-        .write.mode("append")
-        .format("parquet")
-        .bucketBy(buckets, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(f"{name_prefix}_bands")
-    )
+    # the band frame re-reads the shingle subplan — cache it so the
+    # num_hashes-pass signature stage runs once across the two writes
+    sh = sh.cache()
+    try:
+        with open(marker, "w") as f:
+            f.write("append in progress")
+        (
+            sh.repartition(buckets, F.col("doc_id"))
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{name_prefix}_shingles")
+        )
+        (
+            banded.repartition(buckets, F.col("band_key"))
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, "band_key")
+            .sortBy("band_key")
+            .saveAsTable(f"{name_prefix}_bands")
+        )
+        os.remove(marker)
+    finally:
+        sh.unpersist()
 
 
 def minhash_pairs_from_tables(

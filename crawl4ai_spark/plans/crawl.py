@@ -1132,7 +1132,12 @@ class CrawlRun:
         try:
             n_expired = expired.count()
             if n_expired == 0:
-                return {"n_expired": 0, "n_seen": st["n_seen"]}
+                # the zero path must report the same EXACT survivor count
+                # the non-zero path does — st["n_seen"] only upper-bounds
+                # it after a prior expiry (the frontier counter keeps
+                # counting historical inserts); one count job on an
+                # explicit maintenance call is the honest price
+                return {"n_expired": 0, "n_seen": seen_df.count()}
             survivors = seen_df.join(
                 expired.select("url_norm"), "url_norm", "left_anti"
             ).persist()

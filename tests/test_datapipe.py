@@ -838,6 +838,85 @@ def test_minhash_increment_matches_from_scratch_and_grows(spark, sf_dir):
     assert inc2 == scratch2 and len(inc2) > 0
 
 
+def test_minhash_increment_hot_bucket_stays_guarded_and_exact(spark):
+    """Degenerate corpus bucket (2,500 identical docs, over the default
+    HOT_BUCKET_CAP) + an identical-doc batch: the increment must emit
+    exactly the guarded from-scratch star edges restricted to the batch —
+    not a corpus×batch bipartite clique — and stay linear. This is the
+    shape where a naive cross join diverges from the guard semantics AND
+    blows up; the shared-guard construction makes both impossible by
+    running the same _guarded_band_candidates pass over the union
+    bucket."""
+    from crawl4ai_spark.datapipe.dedup import (
+        minhash_dedup_pairs,
+        minhash_pairs_increment,
+        write_minhash_tables,
+    )
+
+    ident = spark.range(2_500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate body text " * 8).alias("text"),
+    )
+    write_minhash_tables(ident, "doc_id", "text", "t_hot_inc",
+                         hash_fn=F.xxhash64, buckets=4)
+    batch = spark.range(40).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("identical boilerplate body text " * 8).alias("text"),
+    )
+    inc = {
+        (r.id_a, r.id_b)
+        for r in minhash_pairs_increment(spark, batch, "t_hot_inc",
+                                         hash_fn=F.xxhash64).collect()
+    }
+    scratch = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(ident.unionByName(batch), "doc_id", "text",
+                                     hash_fn=F.xxhash64).collect()
+        if r.id_a >= 1_000_000 or r.id_b >= 1_000_000
+    }
+    assert inc == scratch
+    # star semantics: every batch doc links into the identical-signature
+    # group linearly (one edge per member), not 2500 edges per member
+    assert len(inc) == 40
+
+
+def test_append_minhash_tables_torn_append_fails_loud(spark, sf_dir):
+    """The two-table append is not one transaction: a crash between the
+    shingle and band appends leaves docs that silently never candidate,
+    and a blind retry double-appends. The pending marker must turn both
+    into a loud error naming the rebuild remedy."""
+    import os
+
+    import pytest as _pytest
+
+    from crawl4ai_spark.datapipe.dedup import (
+        _table_location,
+        append_minhash_tables,
+        write_minhash_tables,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 40")
+    )
+    write_minhash_tables(docs, "doc_id", "text", "t_torn", hash_fn=F.xxhash64,
+                         buckets=2)
+    batch = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    marker = os.path.join(
+        _table_location(spark, "t_torn_shingles"), "_append_pending"
+    )
+    with open(marker, "w") as f:
+        f.write("simulated crash mid-append")
+    with _pytest.raises(RuntimeError, match="did not complete"):
+        append_minhash_tables(spark, batch, "t_torn", hash_fn=F.xxhash64,
+                              buckets=2)
+    os.remove(marker)
+    append_minhash_tables(spark, batch, "t_torn", hash_fn=F.xxhash64, buckets=2)
+    assert not os.path.exists(marker)  # cleared after a clean append
+    assert spark.table("t_torn_shingles").count() == 80
+
+
 def test_ivf_centroids_skips_null_and_wrong_dim(spark):
     """Junk vectors (NULL, empty, wrong dimension) never crash the seed
     build or Lloyd refinement — the quantizer pins its dimension to the

@@ -190,14 +190,13 @@ def test_bucketed_minhash_band_join_is_exchange_free(spark, sf_dir):
     assert got == classic
 
 
-def test_minhash_increment_corpus_side_stays_bucketed(spark, sf_dir):
-    """The increment path's 100 TB contract: the corpus band table feeds
-    its join straight from the bucket layout (bucket-aware scan, no
-    corpus-side exchange) — only the BATCH side shuffles. The four
-    band_key exchanges in the plan all belong to the batch: the cross-join
-    shuffle into the corpus bucketing, the intra-batch guard window, and
-    the guard's two star legs. A corpus-side regression (losing the
-    bucket spec, e.g. an insertInto-style append) adds a fifth."""
+def test_minhash_increment_corpus_scan_is_semi_filtered(spark, sf_dir):
+    """The increment path's 100 TB contract: the corpus band table is
+    narrowed to batch-TOUCHED buckets by a broadcast semi-join BEFORE any
+    exchange (only rows a from-scratch run would pair against move — the
+    exchange that feeds the shared guard window carries touched+batch
+    rows, never the whole corpus), the corpus scans stay bucket-aware,
+    and everything below the guard's cache point runs once."""
     from crawl4ai_spark.datapipe.dedup import (
         minhash_pairs_increment,
         write_minhash_tables,
@@ -218,7 +217,10 @@ def test_minhash_increment_corpus_side_stays_bucketed(spark, sf_dir):
     out = minhash_pairs_increment(spark, batch, "t_pq_inc", hash_fn=F.xxhash64)
     plan = _plan(out)
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
-    assert plan.count("Exchange hashpartitioning(band_key") <= 4, plan
+    # the touched-buckets broadcast semi filter must exist on the corpus
+    # band side — without it every corpus band row flows into the guard
+    # window's exchange
+    assert "LeftSemi" in plan, plan
     assert out.count() > 0
 
 
