@@ -188,6 +188,66 @@ def write_lsh_table(
     salted_partition_write(
         assigned, path, [bucket_col], F.col(id_col), files_per_bucket
     )
+    # persist the hyperplanes beside the data, same rationale as the IVF
+    # quantizer: probes/appends must bucket under the planes the table was
+    # assigned with, and the caller-side copy is losable state
+    _write_lsh_planes(path, planes)
+
+
+def _planes_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_lsh_planes.json")
+
+
+def _write_lsh_planes(path: str, planes: list[list[float]]) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(_planes_path(path), "w") as f:
+        json.dump([[float(x) for x in p] for p in planes], f)
+
+
+def read_lsh_planes(path: str) -> list[list[float]]:
+    """The hyperplanes a ``write_lsh_table`` table was assigned under —
+    exact float64 roundtrip, so probe and append bucketing is
+    bit-identical to the writer's."""
+    import json
+
+    with open(_planes_path(path)) as f:
+        return [[float(x) for x in p] for p in json.load(f)]
+
+
+def append_lsh_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+    files_per_bucket: int = 1,
+) -> None:
+    """Grow an LSH table by a new vector batch under its persisted
+    hyperplanes — the LSH leg of the growing-corpus pattern
+    (``append_minhash_tables`` / ``append_ivf_table`` are the others):
+    bucket assignment rides the batch scan, files append bucket-
+    partitioned (bounded per append, same salted write shape), existing
+    data is never rewritten, and probe partition pruning keeps working
+    across generations. LSH needs no re-clustering caveat: the planes are
+    data-independent, so growth never skews the bucketing itself (bucket
+    SIZES follow the data, as always with LSH)."""
+    from crawl4ai_spark.storage import salted_partition_write
+
+    planes = read_lsh_planes(path)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias(bucket_col),
+    )
+    salted_partition_write(
+        assigned, path, [bucket_col], F.col(id_col), files_per_bucket,
+        mode="append",
+    )
 
 
 def ann_lsh_topk(

@@ -1094,6 +1094,40 @@ def test_lsh_table_probe_matches_inline_and_prunes_scan(spark, sf_dir, tmp_path)
     assert "lsh_bucket" in seg and "IN" in seg.upper()
 
 
+def test_lsh_table_append_grows_exactly(spark, sf_dir, tmp_path):
+    """LSH leg of the growing-corpus pattern: append_lsh_table buckets a
+    vector batch under the table's PERSISTED hyperplanes; a probe over
+    the grown table equals the inline path over the union, and pruning
+    survives append generations."""
+    from crawl4ai_spark.datapipe.similarity import (
+        ann_lsh_topk,
+        append_lsh_table,
+        read_lsh_planes,
+        write_lsh_table,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old = e.filter("vec_id % 3 != 0")
+    batch = e.filter("vec_id % 3 = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    planes = hyperplanes(4, 64)
+    path = str(tmp_path / "lsh_grow")
+    write_lsh_table(old, path, planes, files_per_bucket=2)
+    assert read_lsh_planes(path) == planes  # exact float roundtrip
+    append_lsh_table(batch, path, files_per_bucket=2)
+    table = spark.read.parquet(path)
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ann_lsh_topk(table, q, planes, k=5, bucket_col="lsh_bucket")
+    want = ann_lsh_topk(old.unionByName(batch), q, planes, k=5)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lsh_bucket" in seg and "IN" in seg.upper()
+
+
 def test_ivf_duplicate_seed_vectors_dedupe_and_probe_alignment(spark):
     """Boilerplate corpora put identical embeddings among the seed hashes:
     the quantizer must dedupe them (a duplicated centroid can never win an
