@@ -250,6 +250,28 @@ def append_lsh_table(
     )
 
 
+def compact_lsh_table(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    bucket_col: str = "lsh_bucket",
+    files_per_bucket: int = 1,
+) -> dict:
+    """Rewrite an append-grown LSH table back to the single-write file
+    ceiling (≤ 2^planes × files_per_bucket files). N daily appends cost
+    N × that ceiling in files; when the per-file open cost on probes
+    outweighs a one-off rewrite, compact. The persisted hyperplanes ride
+    along (sidecar carry in ``compact_partitioned_table``), so probes and
+    further appends keep working unchanged. Offline maintenance op —
+    single writer, no concurrent readers; crash-recoverable (see
+    ``storage.compact_partitioned_table``)."""
+    from crawl4ai_spark.storage import compact_partitioned_table
+
+    return compact_partitioned_table(
+        spark, path, [bucket_col], id_col, files_per_bucket
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -582,6 +604,28 @@ def append_ivf_table(
     salted_partition_write(
         assigned, path, [cell_col], F.col(id_col), files_per_cell,
         mode="append",
+    )
+
+
+def compact_ivf_table(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    files_per_cell: int = 4,
+) -> dict:
+    """Rewrite an append-grown IVF table back to the single-write file
+    ceiling (≤ n_cells × files_per_cell files) — the IVF twin of
+    ``compact_lsh_table``. Cell assignments are already materialized in
+    the partition layout, so compaction never touches the quantizer: no
+    vector is reassigned, and the persisted centroids sidecar rides along
+    for later probes/appends. Offline maintenance op — single writer, no
+    concurrent readers; crash-recoverable (see
+    ``storage.compact_partitioned_table``)."""
+    from crawl4ai_spark.storage import compact_partitioned_table
+
+    return compact_partitioned_table(
+        spark, path, [cell_col], id_col, files_per_cell
     )
 
 

@@ -1126,6 +1126,137 @@ def test_lsh_table_append_grows_exactly(spark, sf_dir, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     seg = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "lsh_bucket" in seg and "IN" in seg.upper()
+    # compaction folds the append generations back under the per-write
+    # ceiling, carries the hyperplane sidecar, and changes no probe result
+    from crawl4ai_spark.datapipe.similarity import compact_lsh_table
+
+    stats = compact_lsh_table(spark, path, files_per_bucket=2)
+    assert stats["files_after"] < stats["files_before"]
+    assert read_lsh_planes(path) == planes
+    after = ann_lsh_topk(
+        spark.read.parquet(path), q, planes, k=5, bucket_col="lsh_bucket"
+    )
+    assert {tuple(r) for r in after.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_ivf_table_compact_restores_file_ceiling(spark, sf_dir, tmp_path):
+    """Compaction completes the write/append lifecycle: after N appends
+    the table holds up to N × the per-write file ceiling; compacting
+    rewrites it back under the single-write bound with identical probe
+    results, the centroids sidecar intact, and partition pruning still
+    working — any drop/duplication of rows or loss of the quantizer
+    breaks a later probe silently, so all three are asserted."""
+    from crawl4ai_spark.datapipe.similarity import (
+        append_ivf_table,
+        compact_ivf_table,
+        read_ivf_centroids,
+        write_ivf_table,
+    )
+    from crawl4ai_spark.storage import _count_data_files
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old = e.filter("vec_id % 3 != 0")
+    cents = ivf_centroids(old, 4, iters=1)
+    path = str(tmp_path / "ivf_compact")
+    write_ivf_table(old, path, cents, files_per_cell=2)
+    for gen in (1, 2):
+        batch = e.filter("vec_id % 3 = 0").select(
+            (F.col("vec_id") + gen * 1_000_000).alias("vec_id"), "embedding"
+        )
+        append_ivf_table(batch, path, files_per_cell=2)
+    ceiling = len(cents) * 2
+    assert _count_data_files(path) > ceiling  # appends really fanned out
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    before = {
+        tuple(r)
+        for r in ann_ivf_topk(
+            spark.read.parquet(path), q, nprobe=len(cents), k=5,
+            centroids=cents, cell_col="ivf_cell",
+        ).collect()
+    }
+    stats = compact_ivf_table(spark, path, files_per_cell=2)
+    assert stats["files_after"] <= ceiling
+    assert stats["files_after"] < stats["files_before"]
+    assert read_ivf_centroids(path) == cents  # sidecar carried over
+    table = spark.read.parquet(path)
+    probed = ann_ivf_topk(
+        table, q, nprobe=len(cents), k=5, centroids=cents, cell_col="ivf_cell"
+    )
+    assert {tuple(r) for r in probed.collect()} == before
+    pruned = ann_ivf_topk(
+        table, q, nprobe=1, k=5, centroids=cents, cell_col="ivf_cell"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in seg and "IN" in seg.upper()
+    # a further append against the compacted table still works (planes of
+    # the growth pattern must survive compaction, not just probes)
+    append_ivf_table(
+        e.filter("vec_id % 3 = 0").select(
+            (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
+        ),
+        path,
+        files_per_cell=2,
+    )
+    assert spark.read.parquet(path).count() == stats["rows"] + e.filter(
+        "vec_id % 3 = 0"
+    ).count()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Every crash window of the compaction swap leaves a marker state
+    the next call auto-recovers from without losing rows. Simulated by
+    reconstructing the on-disk states the protocol can crash into."""
+    import json
+    import os
+    import shutil
+
+    from crawl4ai_spark.storage import (
+        _marker_path,
+        compact_partitioned_table,
+        salted_partition_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, part int"
+    )
+    path = str(tmp_path / "t")
+    salted_partition_write(df, path, ["part"], F.col("id"), 1)
+    n = spark.read.parquet(path).count()
+
+    # crash window A: compacted tmp written, marker written, swap not
+    # started → recovery discards the tmp and the re-run compacts fresh
+    tmp = path + ".compacting-dead"
+    shutil.copytree(path, tmp)
+    with open(_marker_path(path), "w") as f:
+        json.dump({"tmp": tmp, "old": path + ".precompact-dead"}, f)
+    stats = compact_partitioned_table(spark, path, ["part"], "id", 1)
+    assert stats["rows"] == n and not os.path.exists(tmp)
+    assert not os.path.exists(_marker_path(path))
+
+    # crash window B: between the two renames (table dir missing, old
+    # copy present, promoted tmp complete) → recovery promotes the tmp
+    tmp2, old2 = path + ".compacting-d2", path + ".precompact-d2"
+    os.rename(path, old2)
+    shutil.copytree(old2, tmp2)
+    with open(_marker_path(path), "w") as f:
+        json.dump({"tmp": tmp2, "old": old2}, f)
+    stats = compact_partitioned_table(spark, path, ["part"], "id", 1)
+    assert stats["rows"] == n
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(old2) and not os.path.exists(tmp2)
+
+    # crash window C: promote landed, old copy not yet deleted → cleanup
+    old3 = path + ".precompact-d3"
+    shutil.copytree(path, old3)
+    with open(_marker_path(path), "w") as f:
+        json.dump({"tmp": path + ".compacting-d3", "old": old3}, f)
+    stats = compact_partitioned_table(spark, path, ["part"], "id", 1)
+    assert stats["rows"] == n and not os.path.exists(old3)
 
 
 def test_ivf_duplicate_seed_vectors_dedupe_and_probe_alignment(spark):
