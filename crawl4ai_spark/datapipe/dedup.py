@@ -723,6 +723,113 @@ def append_minhash_tables(
         sh.unpersist()
 
 
+def _compact_bucketed_table(spark, name: str, key: str, buckets: int) -> dict:
+    """Rewrite one bucketed managed table from its own rows — same bucket
+    spec, single write generation. The swap is marker-guarded: the
+    compacted copy is a complete sibling table BEFORE the marker exists,
+    so every crash window recovers mechanically (original still
+    cataloged → discard the copy and re-run; original dropped → promote
+    the copy by rename). Row count verified before the swap."""
+    import os
+
+    loc = _table_location(spark, name)
+    marker = loc.rstrip("/") + ".compact-pending"
+    tmp = f"{name}__compacting"
+    if os.path.exists(marker):
+        has_orig = spark.catalog.tableExists(name)
+        has_tmp = spark.catalog.tableExists(tmp)
+        if has_orig:
+            _drop_table(spark, tmp)
+        elif has_tmp:
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        else:
+            raise RuntimeError(
+                f"compaction marker {marker} names no surviving table "
+                f"({name} and {tmp} both missing) — manual inspection "
+                "required"
+            )
+        os.remove(marker)
+
+    def _nfiles() -> int:
+        n = 0
+        for root, _dirs, files in os.walk(loc):
+            n += sum(1 for f in files if not f.startswith(("_", ".")))
+        return n
+
+    files_before = _nfiles()
+    _drop_table(spark, tmp)  # stale copy from a pre-marker crash
+    df = spark.table(name)
+    n_before = df.count()
+    # repartition on the writer's BUCKET-ID expression, not the key
+    # column: when the source is itself a bucketed table with the same
+    # spec, the optimizer elides a repartition(buckets, key) as redundant
+    # and the write then emits one file per (input task × bucket) — the
+    # very fan-out being compacted. Hashing the bucket id keeps whole
+    # buckets on one task (≤ ``buckets`` output files total) and cannot
+    # be elided.
+    (
+        df.repartition(buckets, F.pmod(F.hash(F.col(key)), F.lit(buckets)))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(tmp)
+    )
+    n_after = spark.table(tmp).count()
+    if n_after != n_before:
+        _drop_table(spark, tmp)
+        raise RuntimeError(
+            f"compaction of {name} would change the row count "
+            f"({n_before} → {n_after}); original left untouched"
+        )
+    with open(marker, "w") as f:
+        f.write(tmp)
+    spark.sql(f"DROP TABLE {name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    os.remove(marker)
+    return {"rows": n_before, "files_before": files_before,
+            "files_after": _nfiles()}
+
+
+def compact_minhash_tables(spark, name_prefix: str, buckets: int = 32) -> dict:
+    """Fold N ``append_minhash_tables`` generations back into one write
+    generation per bucket — the minhash twin of
+    ``similarity.compact_ivf_table``/``compact_lsh_table``: each append
+    adds one file per bucket per table, and when the open cost on the
+    amortized pairs/increment reads outweighs a one-off rewrite, compact.
+    Pure IO — shingles and signatures are read back as rows and
+    re-bucketed under the SAME spec, never recomputed, so this costs one
+    scan + one exchange per table instead of the O(corpus) signature
+    rebuild that ``write_minhash_tables`` pays. ``buckets`` must match
+    the original write (same contract as the appender).
+
+    The two tables compact independently and content never changes, so a
+    crash between them is harmless (one compacted, one not — every reader
+    sees the same rows); within one table the swap is marker-guarded and
+    auto-recovers (see ``_compact_bucketed_table``). Refuses to run over
+    a torn append (its marker means the TABLES may disagree — compacting
+    would bake the tear in)."""
+    import os
+
+    pend = os.path.join(
+        _table_location(spark, f"{name_prefix}_shingles"), "_append_pending"
+    )
+    if os.path.exists(pend):
+        raise RuntimeError(
+            f"{name_prefix}: a previous append_minhash_tables did not "
+            "complete — compacting now would bake the torn state in. "
+            "Rebuild with write_minhash_tables over the full corpus."
+        )
+    return {
+        "shingles": _compact_bucketed_table(
+            spark, f"{name_prefix}_shingles", "doc_id", buckets
+        ),
+        "bands": _compact_bucketed_table(
+            spark, f"{name_prefix}_bands", "band_key", buckets
+        ),
+    }
+
+
 def minhash_pairs_from_tables(
     spark,
     name_prefix: str,

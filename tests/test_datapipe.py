@@ -917,6 +917,84 @@ def test_append_minhash_tables_torn_append_fails_loud(spark, sf_dir):
     assert spark.table("t_torn_shingles").count() == 80
 
 
+def test_compact_minhash_tables_folds_generations(spark, sf_dir):
+    """The minhash leg of the compaction story: appends stack one file
+    per bucket per generation; compact_minhash_tables rewrites both
+    tables back to one generation from their OWN rows (no signature
+    recompute), after which the pairs read is unchanged, the bucketed
+    join stays exchange-free, and a further increment/append still
+    works. Also: refuses over a torn append, and recovers its own
+    crashed swap."""
+    import os
+
+    import pytest as _pytest
+
+    from crawl4ai_spark.datapipe.dedup import (
+        _table_location,
+        append_minhash_tables,
+        compact_minhash_tables,
+        minhash_pairs_from_tables,
+        minhash_pairs_increment,
+        write_minhash_tables,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 60")
+    )
+    write_minhash_tables(docs, "doc_id", "text", "t_cmp", hash_fn=F.xxhash64,
+                         buckets=2)
+    for gen in (1, 2):
+        batch = docs.select(
+            (F.col("doc_id") + gen * 1_000_000).alias("doc_id"),
+            F.concat(F.lit(" "), "text").alias("text"),
+        )
+        append_minhash_tables(spark, batch, "t_cmp", hash_fn=F.xxhash64,
+                              buckets=2)
+    before = {
+        tuple(r)
+        for r in minhash_pairs_from_tables(spark, "t_cmp").collect()
+    }
+    assert len(before) > 0
+    stats = compact_minhash_tables(spark, "t_cmp", buckets=2)
+    for t in ("shingles", "bands"):
+        assert stats[t]["files_after"] <= 2  # one generation per bucket
+        assert stats[t]["files_after"] < stats[t]["files_before"]
+    out = minhash_pairs_from_tables(spark, "t_cmp")
+    assert {tuple(r) for r in out.collect()} == before
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(band_key" not in plan  # still exchange-free
+    # growth keeps working on the compacted tables
+    batch3 = docs.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit(" "), "text").alias("text"),
+    )
+    inc = minhash_pairs_increment(spark, batch3, "t_cmp", hash_fn=F.xxhash64)
+    assert inc.count() > 0
+    spark.catalog.clearCache()
+    # torn-append marker blocks compaction (it would bake the tear in)
+    pend = os.path.join(
+        _table_location(spark, "t_cmp_shingles"), "_append_pending"
+    )
+    with open(pend, "w") as f:
+        f.write("simulated")
+    with _pytest.raises(RuntimeError, match="did not complete"):
+        compact_minhash_tables(spark, "t_cmp", buckets=2)
+    os.remove(pend)
+    # crashed-swap recovery: original dropped, compacted copy cataloged →
+    # the next call promotes the copy and proceeds
+    n = spark.table("t_cmp_bands").count()
+    spark.sql("CREATE TABLE t_cmp_bands__compacting AS SELECT * FROM t_cmp_bands")
+    loc = _table_location(spark, "t_cmp_bands")
+    with open(loc.rstrip("/") + ".compact-pending", "w") as f:
+        f.write("t_cmp_bands__compacting")
+    spark.sql("DROP TABLE t_cmp_bands")
+    stats = compact_minhash_tables(spark, "t_cmp", buckets=2)
+    assert spark.table("t_cmp_bands").count() == n
+    assert stats["bands"]["rows"] == n
+
+
 def test_ivf_centroids_skips_null_and_wrong_dim(spark):
     """Junk vectors (NULL, empty, wrong dimension) never crash the seed
     build or Lloyd refinement — the quantizer pins its dimension to the
