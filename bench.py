@@ -323,6 +323,37 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         ).collect(),
     )
 
+    # span-level exact substring dedup (Lee et al. 2021) at the documented
+    # production parameters — 50-token windows, stride W/2 for the stats
+    # sweep, tile removal at W. Same every-column aggregation discipline
+    # as the line-dedup entry (both surfaces LEFT-join-anchor on the
+    # input ids, so an untouched column would prune the whole operator).
+    from crawl4ai_spark.datapipe.spandedup import (
+        dedup_spans_corpus,
+        duplicate_span_stats,
+    )
+
+    timed(
+        "span_stats_corpus_100k",
+        lambda: duplicate_span_stats(
+            big, "doc_id", "text", window=50, stride=25
+        ).agg(
+            F.count(F.lit(1)),
+            F.sum("n_spans"),
+            F.sum("n_dup_spans"),
+            F.sum("dup_span_frac"),
+        ).collect(),
+    )
+    timed(
+        "span_dedup_corpus_100k",
+        lambda: dedup_spans_corpus(big, "doc_id", "text", window=50).agg(
+            F.count(F.lit(1)),
+            F.sum("n_tiles"),
+            F.sum("n_tiles_kept"),
+            F.sum(F.length("text_clean")),
+        ).collect(),
+    )
+
     timed(
         "ann_bruteforce",
         lambda: _count(
