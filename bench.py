@@ -354,6 +354,56 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         ).collect(),
     )
 
+    # the FULL curation pipeline (datapipe/curate.py: lang -> gopher
+    # quality+repetition -> C4 -> exact dedup -> MinHash near-dup ->
+    # corpus line dedup -> span screen -> PII) end to end over a 100k-doc
+    # corpus built for realistic attrition: weblines pages x20 replicas,
+    # every 3rd replica byte-identical (exact-dedup work) and the rest
+    # with a unique opening line (near-dup work at ~0.9 Jaccard). Every
+    # output column feeds the aggregate (same pruning discipline as
+    # above); the per-tier 100k entries above isolate each stage's cost,
+    # this one measures the composed plan + survivor routing.
+    from crawl4ai_spark.contract import _weblines
+    from crawl4ai_spark.datapipe.curate import curate_corpus
+
+    wl = _weblines(spark, sf_dir)
+    wcur = wl.crossJoin(
+        spark.range(20).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") + F.col("_rep") * 1_000_000).alias("doc_id"),
+        F.when(F.col("_rep") % 3 == 0, F.col("text")).otherwise(
+            F.regexp_replace(
+                "text", r"^[^\n]*",
+                F.concat(
+                    F.lit("unique opening number "),
+                    (F.col("doc_id") + F.col("_rep") * 1_000_000).cast("string"),
+                    F.lit(" of this page okay."),
+                ),
+            )
+        ).alias("text"),
+    ).repartition(cpus)
+    wcur.write.mode("overwrite").parquet(f"{bench_root}/curate_in")
+    wcur = spark.read.parquet(f"{bench_root}/curate_in")
+    _RELAXED_GATES = dict(
+        min_words=10, min_stop_types=0, min_alpha_ratio=0.0,
+        min_mean_wl=1.0, max_mean_wl=20.0, max_symbol_ratio=1.0,
+    )
+    timed(
+        "curate_corpus_100k",
+        lambda: curate_corpus(
+            wcur, span_window=20, span_stride=10, minhash_threshold=0.8,
+            gopher_kwargs=_RELAXED_GATES,
+            languages=("en", "und", "de", "fr", "es"),
+        ).agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("kept").cast("long")),
+            F.count("drop_stage"),
+            F.sum("dup_span_frac"),
+            F.sum(F.length("text_out")),
+            F.sum("pii.n_email"),
+        ).collect(),
+    )
+
     timed(
         "ann_bruteforce",
         lambda: _count(

@@ -1,0 +1,139 @@
+"""End-to-end curation pipeline (datapipe/curate.py): stage routing,
+attrition attribution, ordering theorem, determinism, and the optional
+decontamination leg."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.datapipe.curate import STAGES, curate_corpus, curation_report
+
+# relaxed gates: the synthetic weblines corpus is short-doc lorem text
+RELAXED = dict(
+    gopher_kwargs=dict(
+        min_words=10, min_stop_types=0, min_alpha_ratio=0.0,
+        min_mean_wl=1.0, max_mean_wl=20.0, max_symbol_ratio=1.0,
+    ),
+    languages=("en", "und", "de", "fr", "es"),
+    span_window=10,
+    span_stride=5,
+    minhash_threshold=0.5,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    from crawl4ai_spark.contract import _weblines
+
+    base = _weblines(spark, sf_dir)
+    # exact clones -> must die at exact_dedup (the cheap pass), never
+    # reach the line tier
+    clones = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    # near clones: replace only the first line so document-level Jaccard
+    # stays high (LSH recall at 16 hashes / 4 bands needs j >= ~0.8) ->
+    # caught at near_dedup, which runs on whole documents BEFORE the line
+    # tier can hollow the clone out
+    near = base.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.regexp_replace(
+            "text", r"^[^\n]*", "a completely different opening line here."
+        ).alias("text"),
+    )
+    return base.unionByName(clones).unionByName(near)
+
+
+@pytest.fixture(scope="module")
+def curated(spark, corpus):
+    out = curate_corpus(corpus, **RELAXED).cache()
+    out.count()
+    return out
+
+
+def test_one_row_per_input_doc(corpus, curated):
+    assert curated.count() == corpus.count()
+    assert curated.select("doc_id").distinct().count() == corpus.count()
+
+
+def test_exact_clones_die_at_exact_dedup(curated):
+    rows = {
+        r.doc_id: r for r in curated.filter("doc_id >= 10000 AND doc_id < 20000").collect()
+    }
+    assert rows, "clone rows missing"
+    for r in rows.values():
+        assert not r.kept
+        # a clone whose ORIGINAL died pre-dedup becomes the surviving
+        # representative itself — only clones whose original reached the
+        # dedup tier must be attributed to exact_dedup
+        if r.drop_stage not in ("lang", "gopher_quality",
+                                "gopher_repetition", "c4"):
+            assert r.drop_stage == "exact_dedup", (r.doc_id, r.drop_stage)
+    assert any(r.drop_stage == "exact_dedup" for r in rows.values())
+
+
+def test_near_clones_die_at_near_dedup(curated):
+    near = [r for r in curated.filter("doc_id >= 20000").collect()]
+    assert near
+    caught = [r for r in near if r.drop_stage == "near_dedup"]
+    assert caught, "expected some near clones caught by MinHash"
+    for r in caught:
+        assert r.is_near_dup and not r.kept
+
+
+def test_drop_stage_partition(curated):
+    # every doc is either kept (drop_stage NULL) or attributed to exactly
+    # one known stage
+    bad = curated.filter(
+        (F.col("kept") & F.col("drop_stage").isNotNull())
+        | (~F.col("kept") & F.col("drop_stage").isNull())
+    )
+    assert bad.count() == 0
+    stages = {r.drop_stage for r in curated.select("drop_stage").distinct().collect()}
+    assert stages - set(STAGES) - {None} == set()
+
+
+def test_text_out_only_for_kept_and_pii_redacted(spark, curated, corpus):
+    assert curated.filter("kept AND text_out IS NULL").count() == 0
+    assert curated.filter("NOT kept AND text_out IS NOT NULL").count() == 0
+    # inject PII into a doc known to be kept, re-run, and check redaction
+    kept_id = curated.filter("kept").select("doc_id").limit(1).collect()[0][0]
+    spiked = corpus.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == kept_id,
+            F.concat("text", F.lit("\nwrite to spam@example.com now ok.")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out2 = curate_corpus(spiked, **RELAXED)
+    row = out2.filter(F.col("doc_id") == kept_id).collect()[0]
+    if row.kept:  # the spike may flip a gate; only assert when it ships
+        assert "spam@example.com" not in row.text_out
+        assert row.pii.n_email >= 1
+
+
+def test_deterministic_under_repartition(spark, corpus, curated):
+    shuffled = corpus.repartition(7)
+    out2 = curate_corpus(shuffled, **RELAXED)
+    a = {(r.doc_id, r.kept, r.drop_stage) for r in curated.collect()}
+    b = {(r.doc_id, r.kept, r.drop_stage) for r in out2.collect()}
+    assert a == b
+
+
+def test_decontam_leg(spark, corpus, curated):
+    kept_id = curated.filter("kept").select("doc_id").limit(1).collect()[0][0]
+    # benchmark = that doc's curated text -> it must now drop at decontam
+    bench_text = curated.filter(F.col("doc_id") == kept_id).collect()[0].text_out
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out2 = curate_corpus(corpus, decontam_benchmark=bench, **RELAXED)
+    row = out2.filter(F.col("doc_id") == kept_id).collect()[0]
+    assert row.drop_stage == "decontam" and not row.kept
+
+
+def test_curation_report_sums_to_one(curated):
+    rep = curation_report(curated).collect()
+    assert abs(sum(r.frac for r in rep) - 1.0) < 1e-4
+    assert sum(r.n_docs for r in rep) == curated.count()
+    # ordered by pipeline stage, kept row (NULL) last
+    assert rep[-1].drop_stage is None

@@ -219,3 +219,35 @@ def test_explode_spans_positions(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     rows = explode_spans(df, "doc_id", "text", window=3, stride=2).collect()
     assert [r.span_no for r in rows] == [0, 1]  # offsets 0 and 2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_span_stats_shuffles_only_narrow_columns(spark, sf_dir):
+    """The two exchanges (span_key counts, per-doc counts) must carry
+    hashed keys and counters only — span/tile TEXT entering a shuffle
+    would multiply the exchange size by the window length at 100 TB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(duplicate_span_stats(docs, "doc_id", "text", window=20))
+    sections = plan.split("Exchange hashpartitioning")
+    assert len(sections) >= 2, "expected the span_key and doc_id exchanges"
+    for sec in sections[1:]:
+        head = sec.split("+-")[0]  # the exchange's own argument line
+        assert "text#" not in head and "tile_text" not in head
+
+
+def test_span_clean_shuffles_tile_text_only_for_kept(spark, sf_dir):
+    """Reassembly may shuffle tile text (it must — the kept tiles regroup
+    by doc), but the FIRST groupBy — the corpus-wide key agg — must not."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dedup_spans_corpus(docs, "doc_id", "text", window=20))
+    key_exchanges = [
+        s for s in plan.split("Exchange hashpartitioning")
+        if s.startswith("(tile_key")
+    ]
+    assert key_exchanges, "expected a tile_key exchange for the firsts agg"
+    assert all(
+        "tile_text" not in s.split("+-")[0] for s in key_exchanges
+    ), "tile_key agg must shuffle (key, first_occ) only, never tile text"
