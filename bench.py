@@ -392,6 +392,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "curate_corpus_100k",
         lambda: curate_corpus(
             wcur, span_window=20, span_stride=10, minhash_threshold=0.8,
+            minhash_hash_fn=F.xxhash64,  # production hash path, as in the
+            # dedup entries above (portable md5 is the oracle path)
             gopher_kwargs=_RELAXED_GATES,
             languages=("en", "und", "de", "fr", "es"),
         ).agg(

@@ -8,10 +8,12 @@ stage order (FineWeb / CCNet / Gopher lineage):
   4. C4 line clean + page gate            (webquality.c4_clean_col)
   5. exact document dedup, first-wins     (textstats.fingerprint_col)
   6. MinHash near-dup pruning             (dedup.minhash_dedup_pairs)
-  7. CCNet corpus line dedup              (linededup.dedup_lines_corpus)
-  8. span-duplication screen              (spandedup.duplicate_span_stats)
-  9. PII redaction                        (pii.redact_pii_col)
- 10. (optional) benchmark decontamination (decontam.decontaminate)
+  7. (optional) SemDeDup-style embedding
+     near-dup over caller embeddings      (similarity.embedding_dedup_pairs)
+  8. CCNet corpus line dedup              (linededup.dedup_lines_corpus)
+  9. span-duplication screen              (spandedup.duplicate_span_stats)
+ 10. PII redaction                        (pii.redact_pii_col)
+ 11. (optional) benchmark decontamination (decontam.decontaminate)
 
 Every kernel keeps its own contract-gated semantics — this module adds
 no new math, only the composition, the survivor routing, and the
@@ -38,8 +40,8 @@ the C4 line filter at stage 4, which drops short/unpunctuated nav junk
 before any dedup runs. This is also the published order (RefinedWeb
 §3.3, FineWeb: document dedup on filtered text, line-level ops after).
 
-Scale shape: stages 1–4 and 9 are shuffle-free per-row Catalyst; each
-corpus-wide stage (5–8, 10) runs ONLY over the survivors of the stages
+Scale shape: stages 1–4 and 10 are shuffle-free per-row Catalyst; each
+corpus-wide stage (5–9, 11) runs ONLY over the survivors of the stages
 before it — at realistic web attrition (Gopher+C4 drop ~50 %, dedup
 shrinks survivors further) the expensive tiers see a fraction of
 the scan, exactly how production pipelines sequence it. All dedup keep
@@ -47,7 +49,8 @@ rules are min-id/first-occurrence and layout-independent, so the whole
 pipeline is deterministic under any partitioning.
 
 Near-dup pruning semantics: a doc is dropped iff it is the LARGER id of
-any >= threshold MinHash pair among line-dedup survivors. On a dup
+any >= threshold MinHash pair among exact-dedup survivors (the embedding
+tier applies the same rule over cosine pairs). On a dup
 chain a~b~c (a<b<c, a!~c) this keeps only ``a`` — the standard
 pair-greedy rule (RefinedWeb §3.3 drops all-but-one per match), slightly
 more aggressive than connected-component dedup with per-cluster keep;
@@ -86,6 +89,7 @@ STAGES = (
     "c4",
     "exact_dedup",
     "near_dedup",
+    "embed_dedup",
     "line_dedup",
     "span_screen",
     "decontam",
@@ -112,6 +116,10 @@ def curate_corpus(
     max_dup_span_frac: float = 0.7,
     minhash_threshold: float = 0.8,
     minhash_hash_fn=portable_hash,
+    embeddings: DataFrame | None = None,
+    embed_vec_col: str = "embedding",
+    embed_threshold: float = 0.95,
+    embed_planes: list | None = None,
     decontam_benchmark: DataFrame | None = None,
     decontam_text_col: str = "text",
     decontam_ngram: int = 13,
@@ -123,7 +131,7 @@ def curate_corpus(
 
     (id, kept, drop_stage, lang, gopher_keep, rep_keep, c4_keep,
     n_lines, n_lines_kept, dup_span_frac, is_exact_dup, is_near_dup,
-    contaminated, pii, text_out)
+    is_embed_dup, contaminated, pii, text_out)
 
     ``drop_stage`` is NULL for kept docs; ``text_out`` is the curated
     text (C4-cleaned, corpus-line-deduped, PII-redacted) for kept docs
@@ -199,10 +207,43 @@ def curate_corpus(
         near_drops.withColumn("_nd", F.lit(True)), id_col, "left"
     ).select(id_col, F.coalesce("_nd", F.lit(False)).alias("is_near_dup"))
 
-    # stage 7: corpus line dedup over the near-dedup survivors
-    ld_in = nd_in.join(
+    # stage 7 (optional, SemDeDup-style): embedding-cosine near-dup over
+    # the MinHash survivors — catches paraphrase/translation duplicates
+    # token shingles cannot. Requires a caller-supplied (id, embedding)
+    # frame; same larger-id-drops pair rule as stage 6.
+    nd_surv = nd_in.join(
         nd.filter(~F.col("is_near_dup")).select(id_col), id_col
     )
+    if embeddings is not None:
+        from crawl4ai_spark.datapipe.similarity import (
+            embedding_dedup_pairs,
+            hyperplanes,
+        )
+
+        first = embeddings.select(embed_vec_col).limit(1).collect()
+        if not first:
+            raise ValueError("embeddings frame is empty")
+        dim = len(first[0][0])
+        planes = embed_planes or hyperplanes(8, dim)
+        emb_in = embeddings.join(nd_surv.select(id_col), id_col).select(
+            F.col(id_col), F.col(embed_vec_col)
+        )
+        epairs = embedding_dedup_pairs(
+            emb_in, planes, threshold=embed_threshold,
+            id_col=id_col, vec_col=embed_vec_col,
+        )
+        edrops = epairs.select(F.col("id_b").alias(id_col)).distinct()
+        ed = nd_surv.select(id_col).join(
+            edrops.withColumn("_ed", F.lit(True)), id_col, "left"
+        ).select(
+            id_col, F.coalesce("_ed", F.lit(False)).alias("is_embed_dup")
+        )
+        ld_in = nd_surv.join(
+            ed.filter(~F.col("is_embed_dup")).select(id_col), id_col
+        )
+    else:
+        ed = None
+        ld_in = nd_surv
     ld = dedup_lines_corpus(ld_in, id_col, "_t4").select(
         id_col,
         F.col("text_clean").alias("_t5"),
@@ -222,7 +263,7 @@ def curate_corpus(
     # containment as the flagged checkpoint above
     ld = ld.localCheckpoint(eager=False)
 
-    # stage 8: span-duplication screen over the line-deduped text (the
+    # stage 9: span-duplication screen over the line-deduped text (the
     # self/cross repetition that survives every dedup tier above)
     ld_surv = ld.filter("line_keep").select(id_col, "_t5")
     sp = duplicate_span_stats(
@@ -232,7 +273,7 @@ def curate_corpus(
         "span_keep", F.col("dup_span_frac") <= max_dup_span_frac
     )
 
-    # stage 10 (optional): decontamination over span survivors' final text
+    # stage 11 (optional): decontamination over span survivors' final text
     if decontam_benchmark is not None:
         from crawl4ai_spark.datapipe.decontam import decontaminate
 
@@ -259,6 +300,10 @@ def curate_corpus(
         .join(ex, id_col, "left")
         .join(nd, id_col, "left")
     )
+    if ed is not None:
+        out = out.join(ed, id_col, "left")
+    else:
+        out = out.withColumn("is_embed_dup", F.lit(None).cast("boolean"))
     if dc is not None:
         out = out.join(dc, id_col, "left")
     else:
@@ -268,6 +313,7 @@ def curate_corpus(
         F.col("_pre_keep")
         & ~F.coalesce("is_exact_dup", F.lit(True))
         & ~F.coalesce("is_near_dup", F.lit(True))
+        & ~F.coalesce("is_embed_dup", F.lit(False))
         & F.coalesce("line_keep", F.lit(False))
         & F.coalesce("span_keep", F.lit(False))
         & ~F.coalesce("contaminated", F.lit(False))
@@ -279,11 +325,12 @@ def curate_corpus(
         .when(~F.col("c4_keep"), F.lit("c4"))
         .when(F.coalesce("is_exact_dup", F.lit(True)), F.lit("exact_dedup"))
         .when(F.coalesce("is_near_dup", F.lit(True)), F.lit("near_dedup"))
+        .when(F.coalesce("is_embed_dup", F.lit(False)), F.lit("embed_dedup"))
         .when(~F.coalesce("line_keep", F.lit(False)), F.lit("line_dedup"))
         .when(~F.coalesce("span_keep", F.lit(False)), F.lit("span_screen"))
         .when(F.coalesce("contaminated", F.lit(False)), F.lit("decontam"))
     )
-    # stage 9: PII-redact only the text that ships
+    # stage 10: PII-redact only the text that ships
     text_out = F.when(kept, redact_pii_col(F.col("_t5")))
     return out.select(
         F.col(id_col),
@@ -298,6 +345,7 @@ def curate_corpus(
         "dup_span_frac",
         "is_exact_dup",
         "is_near_dup",
+        "is_embed_dup",
         "contaminated",
         F.when(kept, pii_counts_col(F.col("_t5"))).alias("pii"),
         text_out.alias("text_out"),

@@ -137,3 +137,40 @@ def test_curation_report_sums_to_one(curated):
     assert sum(r.n_docs for r in rep) == curated.count()
     # ordered by pipeline stage, kept row (NULL) last
     assert rep[-1].drop_stage is None
+
+
+def test_exact_dedup_tier_shuffles_fingerprints_only(spark, corpus):
+    """The stage-5 groupBy must exchange (fingerprint, min-id) — document
+    TEXT entering that shuffle would make the 'cheap narrow fast path'
+    claim false at 100 TB."""
+    out = curate_corpus(corpus, **RELAXED)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    fp_exchanges = [
+        s for s in plan.split("Exchange hashpartitioning")
+        if s.startswith("(_fp")
+    ]
+    assert fp_exchanges, "expected the fingerprint exchange"
+    for s in fp_exchanges:
+        head = s.split("+-")[0]
+        assert "_text" not in head and "_t4" not in head
+
+
+def test_embed_dedup_leg(spark, corpus, curated):
+    """Supplying embeddings activates the SemDeDup tier: two kept docs
+    given identical vectors -> the larger id drops at embed_dedup."""
+    kept_ids = [r.doc_id for r in curated.filter("kept").select("doc_id")
+                .orderBy("doc_id").limit(2).collect()]
+    assert len(kept_ids) == 2
+    a, b = kept_ids
+    same = [float(i % 7 + 1) for i in range(8)]
+    rows = [(int(r.doc_id),
+             same if r.doc_id in (a, b)
+             else [float((r.doc_id * 13 + i * 7) % 23 - 11) for i in range(8)])
+            for r in corpus.select("doc_id").collect()]
+    embs = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    out2 = curate_corpus(corpus, embeddings=embs, embed_threshold=0.99,
+                         **RELAXED)
+    ra = out2.filter(F.col("doc_id") == a).collect()[0]
+    rb = out2.filter(F.col("doc_id") == b).collect()[0]
+    assert ra.kept and not ra.is_embed_dup
+    assert (not rb.kept) and rb.is_embed_dup and rb.drop_stage == "embed_dedup"
