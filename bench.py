@@ -388,6 +388,41 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         min_words=10, min_stop_types=0, min_alpha_ratio=0.0,
         min_mean_wl=1.0, max_mean_wl=20.0, max_symbol_ratio=1.0,
     )
+    # model-based quality scoring (FineWeb-Edu/DCLM-style linear
+    # classifier): train on a 10k labeled seed (the realistic seed:corpus
+    # ratio), then the corpus-scale pass — scoring 100k docs through the
+    # broadcast model, plan-asserted exchange-free in tests
+    from crawl4ai_spark.datapipe.qualityclf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    seed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("informative article with careful analysis. "),
+                     "text"),
+        ).otherwise(
+            F.concat(F.lit("click here buy now free casino winner!!! "),
+                     "text")
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("double").alias("label"),
+    )
+    _qm = {}
+    timed(
+        "qclf_train_seed",
+        lambda: _qm.update(
+            zip(("idf", "lr"), train_quality_classifier(seed))
+        ),
+    )
+    timed(
+        "qclf_score_100k",
+        lambda: score_quality(big, _qm["idf"], _qm["lr"]).agg(
+            F.count(F.lit(1)), F.sum("quality_prob")
+        ).collect(),
+    )
+
     timed(
         "curate_corpus_100k",
         lambda: curate_corpus(

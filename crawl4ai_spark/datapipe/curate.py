@@ -244,6 +244,8 @@ def curate_corpus(
     else:
         ed = None
         ld_in = nd_surv
+
+    # stage 8: corpus line dedup over the doc-dedup survivors
     ld = dedup_lines_corpus(ld_in, id_col, "_t4").select(
         id_col,
         F.col("text_clean").alias("_t5"),
@@ -259,8 +261,8 @@ def curate_corpus(
         ),
     )
     # second tier boundary: _t5 (the line-deduped text) feeds the span
-    # screen, both dedup tiers AND the final output — same plan-size
-    # containment as the flagged checkpoint above
+    # screen, the optional decontam leg AND the final output — same
+    # plan-size containment as the flagged checkpoint above
     ld = ld.localCheckpoint(eager=False)
 
     # stage 9: span-duplication screen over the line-deduped text (the
