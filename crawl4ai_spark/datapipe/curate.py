@@ -6,6 +6,7 @@ stage order (FineWeb / CCNet / Gopher lineage):
   2. Gopher quality gate                  (webquality.gopher_metrics/gate)
   3. Gopher full repetition gate          (webquality.gopher_repetition_*)
   4. C4 line clean + page gate            (webquality.c4_clean_col)
+  4b. (optional) model-based quality gate (qualityclf.score_quality)
   5. exact document dedup, first-wins     (textstats.fingerprint_col)
   6. MinHash near-dup pruning             (dedup.minhash_dedup_pairs)
   7. (optional) SemDeDup-style embedding
@@ -87,6 +88,7 @@ STAGES = (
     "gopher_quality",
     "gopher_repetition",
     "c4",
+    "quality_clf",
     "exact_dedup",
     "near_dedup",
     "embed_dedup",
@@ -126,19 +128,30 @@ def curate_corpus(
     gopher_kwargs: dict | None = None,
     c4_min_words_per_line: int = 5,
     c4_min_lines_kept: int = 3,
+    quality_model: tuple | None = None,
+    quality_threshold: float = 0.5,
 ) -> DataFrame:
     """Run the whole curation pipeline; returns one row per input doc:
 
     (id, kept, drop_stage, lang, gopher_keep, rep_keep, c4_keep,
-    n_lines, n_lines_kept, dup_span_frac, is_exact_dup, is_near_dup,
-    is_embed_dup, contaminated, pii, text_out)
+    quality_prob, n_lines, n_lines_kept, dup_span_frac, is_exact_dup,
+    is_near_dup, is_embed_dup, contaminated, pii, text_out)
 
     ``drop_stage`` is NULL for kept docs; ``text_out`` is the curated
     text (C4-cleaned, corpus-line-deduped, PII-redacted) for kept docs
     and NULL otherwise. ``pii`` is the counts struct over the curated
     text. ``min_line_frac_kept`` optionally rejects docs whose line
     dedup removed too much (0.0 keeps CCNet's default behavior: only
-    fully-boilerplate docs — zero surviving lines — are dropped)."""
+    fully-boilerplate docs — zero surviving lines — are dropped).
+
+    ``quality_model``: an optional ``(idf_model, lr_model)`` pair from
+    ``qualityclf.train_quality_classifier`` — adds the FineWeb-Edu/DCLM
+    model-based quality gate right after the rule gates. It is placed
+    BEFORE the dedup tiers deliberately: scoring is a shuffle-free
+    broadcast-model projection (the cheapest tier in the pipeline), so
+    letting it shrink the input to the expensive corpus-wide tiers is
+    the scale-optimal order; quality_prob is reported for every doc
+    that passes the rule gates, not just survivors."""
     base = df.select(F.col(id_col), F.col(text_col).alias("_text"))
 
     # stages 1-4: shuffle-free per-row gates over the raw text
@@ -179,11 +192,32 @@ def curate_corpus(
     # each tier lands in a table between stages, restartable per tier.
     flagged = flagged.localCheckpoint(eager=False)
 
+    # stage 4b (optional): model-based quality gate — a shuffle-free
+    # broadcast-model projection over the rule-gate survivors; placed
+    # before the dedup tiers so the cheapest tier shrinks the input to
+    # the expensive ones (docstring)
+    if quality_model is not None:
+        from crawl4ai_spark.datapipe.qualityclf import score_quality
+
+        idf_m, lr_m = quality_model
+        q = score_quality(
+            flagged.filter("_pre_keep").select(id_col, "_text"),
+            idf_m, lr_m, id_col=id_col, text_col="_text",
+        ).withColumn(
+            "quality_keep", F.col("quality_prob") >= quality_threshold
+        )
+        rule_surv = flagged.filter("_pre_keep").join(
+            q.filter("quality_keep").select(id_col), id_col
+        )
+    else:
+        q = None
+        rule_surv = flagged.filter("_pre_keep")
+
     # stage 5: exact dedup (first-wins on the canonical fingerprint of the
     # C4-cleaned text) — one narrow (id, fingerprint) groupBy that
     # collapses verbatim clones BEFORE the per-line explosion pays for
     # them (see the ordering theorem in the module docstring)
-    survivors = flagged.filter("_pre_keep").select(
+    survivors = rule_surv.select(
         id_col, F.col("_c4")["text_clean"].alias("_t4")
     )
     fp = survivors.select(id_col, fingerprint_col("_t4").alias("_fp"))
@@ -302,6 +336,12 @@ def curate_corpus(
         .join(ex, id_col, "left")
         .join(nd, id_col, "left")
     )
+    if q is not None:
+        out = out.join(q, id_col, "left")
+    else:
+        out = out.withColumn(
+            "quality_prob", F.lit(None).cast("double")
+        ).withColumn("quality_keep", F.lit(None).cast("boolean"))
     if ed is not None:
         out = out.join(ed, id_col, "left")
     else:
@@ -313,6 +353,7 @@ def curate_corpus(
 
     kept = (
         F.col("_pre_keep")
+        & F.coalesce("quality_keep", F.lit(quality_model is None))
         & ~F.coalesce("is_exact_dup", F.lit(True))
         & ~F.coalesce("is_near_dup", F.lit(True))
         & ~F.coalesce("is_embed_dup", F.lit(False))
@@ -325,6 +366,10 @@ def curate_corpus(
         .when(~F.col("gopher_keep"), F.lit("gopher_quality"))
         .when(~F.col("rep_keep"), F.lit("gopher_repetition"))
         .when(~F.col("c4_keep"), F.lit("c4"))
+        .when(
+            ~F.coalesce("quality_keep", F.lit(quality_model is None)),
+            F.lit("quality_clf"),
+        )
         .when(F.coalesce("is_exact_dup", F.lit(True)), F.lit("exact_dedup"))
         .when(F.coalesce("is_near_dup", F.lit(True)), F.lit("near_dedup"))
         .when(F.coalesce("is_embed_dup", F.lit(False)), F.lit("embed_dedup"))
@@ -342,6 +387,7 @@ def curate_corpus(
         "gopher_keep",
         "rep_keep",
         "c4_keep",
+        "quality_prob",
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
         "dup_span_frac",

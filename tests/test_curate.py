@@ -174,3 +174,42 @@ def test_embed_dedup_leg(spark, corpus, curated):
     rb = out2.filter(F.col("doc_id") == b).collect()[0]
     assert ra.kept and not ra.is_embed_dup
     assert (not rb.kept) and rb.is_embed_dup and rb.drop_stage == "embed_dedup"
+
+
+def test_quality_model_gate(spark, corpus, curated):
+    """Supplying a trained quality model adds the quality_clf stage: docs
+    the model scores below threshold drop there, and quality_prob is
+    reported for every rule-gate survivor."""
+    from crawl4ai_spark.datapipe.qualityclf import train_quality_classifier
+
+    # train a classifier that rejects a salt phrase, then spike two kept
+    # docs with it
+    base_ids = [r.doc_id for r in curated.filter("kept").select("doc_id")
+                .orderBy("doc_id").limit(2).collect()]
+    spam = "free casino pills winner click here buy now."
+    labeled = corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+         .otherwise(F.concat(F.lit(spam + " "), "text")).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("double").alias("label"),
+    )
+    model = train_quality_classifier(labeled)
+    spiked = corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id").isin(base_ids),
+               F.concat(F.lit(spam + " "), "text"))
+         .otherwise(F.col("text")).alias("text"),
+    )
+    out = curate_corpus(spiked, quality_model=model,
+                        quality_threshold=0.5, **RELAXED)
+    rows = {r.doc_id: r for r in out.filter(
+        F.col("doc_id").isin(base_ids)).collect()}
+    dropped_at_clf = [r for r in rows.values()
+                      if r.drop_stage == "quality_clf"]
+    assert dropped_at_clf, "expected the spiked docs to drop at quality_clf"
+    for r in dropped_at_clf:
+        assert not r.kept and r.quality_prob is not None
+        assert r.quality_prob < 0.5
+    # without a model the column is NULL and nothing drops at that stage
+    assert curated.filter("drop_stage = 'quality_clf'").count() == 0
+    assert curated.filter("quality_prob IS NOT NULL").count() == 0
