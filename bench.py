@@ -253,6 +253,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                                     hash_fn=F.xxhash64, threshold=0.5)
         ),
     )
+    # the increment caches its batch shingle/band frames (and the guard
+    # its windowed bucket table) for the multi-join plan — its documented
+    # contract is clearCache() once the pairs are consumed. Without it
+    # those MEMORY_AND_DISK entries stay pinned through every remaining
+    # timed entry and skew the recorded bands. Nothing cached above is
+    # reused below (`pages` only feeds the earlier extract/crawl entries).
+    spark.catalog.clearCache()
 
     # cleaning tier at 100k: the gopher quality+repetition screens, C4 line
     # cleaning, PII redaction (all shuffle-free Catalyst over the doc), and

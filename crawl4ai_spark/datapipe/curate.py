@@ -254,11 +254,36 @@ def curate_corpus(
             hyperplanes,
         )
 
-        first = embeddings.select(embed_vec_col).limit(1).collect()
-        if not first:
-            raise ValueError("embeddings frame is empty")
-        dim = len(first[0][0])
-        planes = embed_planes or hyperplanes(8, dim)
+        if embed_planes is not None:
+            # caller-supplied planes — no dimension probe needed, the
+            # composition stays a pure lazy plan construction. An empty
+            # list is rejected here: downstream it would not error, just
+            # hash every vector into one bucket (an accidental all-pairs
+            # guard diversion), which is never what a caller meant.
+            if not embed_planes:
+                raise ValueError(
+                    "embed_planes is empty — pass None to use the "
+                    "default hyperplanes"
+                )
+            planes = embed_planes
+        else:
+            # dimension probe for the default planes: one bounded collect
+            # at plan-construction time (the only eager job in
+            # curate_corpus); null vectors are junk rows, not evidence of
+            # the corpus dimension, so probe past them
+            first = (
+                embeddings.select(embed_vec_col)
+                .filter(F.col(embed_vec_col).isNotNull())
+                .limit(1)
+                .collect()
+            )
+            if not first:
+                raise ValueError(
+                    "embeddings frame has no non-null vectors; pass "
+                    "embed_planes explicitly or drop the embedding tier"
+                )
+            dim = len(first[0][0])
+            planes = hyperplanes(8, dim)
         emb_in = embeddings.join(nd_surv.select(id_col), id_col).select(
             F.col(id_col), F.col(embed_vec_col)
         )

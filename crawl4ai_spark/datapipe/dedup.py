@@ -401,6 +401,101 @@ def _drop_table(spark, name: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def _hash_fn_name(hash_fn) -> str:
+    return getattr(hash_fn, "__name__", None) or repr(hash_fn)
+
+
+def _minhash_params_path(spark, name_prefix: str) -> str:
+    import os
+
+    return os.path.join(
+        _table_location(spark, f"{name_prefix}_shingles"),
+        "_minhash_params.json",
+    )
+
+
+def read_minhash_params(spark, name_prefix: str) -> dict | None:
+    """The parameters ``write_minhash_tables`` persisted beside the
+    shingle table (None for tables written before the sidecar existed).
+    ``hash_fn`` comes back as the function NAME — a daily-increment job
+    resolves it against its own registry (the two shipped spellings are
+    ``xxhash64`` and ``portable_hash``)."""
+    import json
+    import os
+
+    p = _minhash_params_path(spark, name_prefix)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_minhash_params(
+    spark, name_prefix: str, k, num_hashes, bands, buckets, hash_fn
+) -> None:
+    import json
+
+    with open(_minhash_params_path(spark, name_prefix), "w") as f:
+        json.dump(
+            {
+                "k": k,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "buckets": buckets,
+                "hash_fn": _hash_fn_name(hash_fn),
+            },
+            f,
+        )
+
+
+def _check_minhash_params(
+    spark,
+    name_prefix: str,
+    *,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    hash_fn,
+    buckets: int | None = None,
+) -> None:
+    """Fail loud when a caller's minhash parameters disagree with the
+    sidecar the tables were written under. Without this, a bands or
+    hash_fn mismatch does not error — batch band keys simply never match
+    corpus band keys, so an increment silently reports (near) zero pairs
+    and duplicates leak into the corpus; an append would bake
+    differently-banded rows into the tables. Tables from before the
+    sidecar (no params file) are accepted unchecked — rewrite with the
+    current ``write_minhash_tables`` to get the protection."""
+    stored = read_minhash_params(spark, name_prefix)
+    if stored is None:
+        return
+    claimed = {
+        "k": k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "hash_fn": _hash_fn_name(hash_fn),
+    }
+    if buckets is not None:
+        claimed["buckets"] = buckets
+    bad = {
+        key: (val, stored[key])
+        for key, val in claimed.items()
+        if key in stored and stored[key] != val
+    }
+    if bad:
+        detail = ", ".join(
+            f"{key}: caller={c!r} table={t!r}" for key, (c, t) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"{name_prefix}: minhash parameters disagree with the values "
+            f"the tables were written under ({detail}). A mismatch would "
+            "not error — band keys would simply never match and the "
+            "increment/append would silently miss duplicates. Pass the "
+            "stored values (read_minhash_params) or rebuild the tables "
+            "with write_minhash_tables."
+        )
+
+
 def write_minhash_tables(
     df: DataFrame,
     id_col: str,
@@ -466,6 +561,13 @@ def write_minhash_tables(
         .sortBy("band_key")
         .saveAsTable(f"{name_prefix}_bands")
     )
+    # persist the construction parameters beside the shingle table: the
+    # caller-side copy is losable state (same failure mode the ANN tables
+    # guard with _ivf_centroids/_lsh_planes sidecars), and an increment or
+    # append run under mismatched bands/hash_fn would silently miss
+    # duplicates rather than error — _check_minhash_params turns that
+    # into a loud ValueError
+    _write_minhash_params(spark, name_prefix, k, num_hashes, bands, buckets, hash_fn)
 
 
 def _folded_bands(
@@ -557,7 +659,13 @@ def minhash_pairs_increment(
     the returned DataFrame is consumed.
 
     Parameters mirror ``write_minhash_tables`` and must match the values
-    the tables were written with, ``hash_fn`` included."""
+    the tables were written with, ``hash_fn`` included — validated
+    against the sidecar the writer persists (mismatch raises instead of
+    silently missing duplicates; see ``read_minhash_params``)."""
+    _check_minhash_params(
+        spark, name_prefix, k=k, num_hashes=num_hashes, bands=bands,
+        hash_fn=hash_fn,
+    )
     sc = spark.sparkContext
     nparts = max(new_docs.rdd.getNumPartitions(), sc.defaultParallelism)
     sh_new, banded_new = _folded_bands(
@@ -679,6 +787,10 @@ def append_minhash_tables(
     protocol."""
     import os
 
+    _check_minhash_params(
+        spark, name_prefix, k=k, num_hashes=num_hashes, bands=bands,
+        hash_fn=hash_fn, buckets=buckets,
+    )
     marker = os.path.join(
         _table_location(spark, f"{name_prefix}_shingles"), "_append_pending"
     )
@@ -750,13 +862,9 @@ def _compact_bucketed_table(spark, name: str, key: str, buckets: int) -> dict:
             )
         os.remove(marker)
 
-    def _nfiles() -> int:
-        n = 0
-        for root, _dirs, files in os.walk(loc):
-            n += sum(1 for f in files if not f.startswith(("_", ".")))
-        return n
+    from crawl4ai_spark.storage import _count_data_files
 
-    files_before = _nfiles()
+    files_before = _count_data_files(loc)
     _drop_table(spark, tmp)  # stale copy from a pre-marker crash
     df = spark.table(name)
     n_before = df.count()
@@ -782,16 +890,37 @@ def _compact_bucketed_table(spark, name: str, key: str, buckets: int) -> dict:
             f"compaction of {name} would change the row count "
             f"({n_before} → {n_after}); original left untouched"
         )
+    # carry sidecar metadata (the _minhash_params.json the writer
+    # persists — underscore-prefixed, so parquet readers skip it) into
+    # the compacted copy BEFORE the marker: the DROP TABLE below removes
+    # the original location wholesale, and the tmp table must already be
+    # a complete drop-in replacement when the marker appears. The torn
+    # append marker (_append_pending) is deliberately NOT carried — the
+    # caller refuses to compact while it exists.
+    import shutil
+
+    tmp_loc = _table_location(spark, tmp)
+    for entry in os.listdir(loc):
+        src = os.path.join(loc, entry)
+        if (
+            entry.startswith("_")
+            and entry not in ("_SUCCESS", "_append_pending")
+            and os.path.isfile(src)
+            and not os.path.exists(os.path.join(tmp_loc, entry))
+        ):
+            shutil.copy2(src, os.path.join(tmp_loc, entry))
     with open(marker, "w") as f:
         f.write(tmp)
     spark.sql(f"DROP TABLE {name}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
     os.remove(marker)
     return {"rows": n_before, "files_before": files_before,
-            "files_after": _nfiles()}
+            "files_after": _count_data_files(loc)}
 
 
-def compact_minhash_tables(spark, name_prefix: str, buckets: int = 32) -> dict:
+def compact_minhash_tables(
+    spark, name_prefix: str, buckets: int | None = None
+) -> dict:
     """Fold N ``append_minhash_tables`` generations back into one write
     generation per bucket — the minhash twin of
     ``similarity.compact_ivf_table``/``compact_lsh_table``: each append
@@ -801,7 +930,11 @@ def compact_minhash_tables(spark, name_prefix: str, buckets: int = 32) -> dict:
     re-bucketed under the SAME spec, never recomputed, so this costs one
     scan + one exchange per table instead of the O(corpus) signature
     rebuild that ``write_minhash_tables`` pays. ``buckets`` must match
-    the original write (same contract as the appender).
+    the original write (same contract as the appender) — omit it to use
+    the value from the params sidecar (tables from before the sidecar
+    fall back to the writer's default, 32); an explicit value that
+    disagrees with the sidecar raises rather than silently rewriting
+    the tables under a different bucket count.
 
     The two tables compact independently and content never changes, so a
     crash between them is harmless (one compacted, one not — every reader
@@ -819,6 +952,17 @@ def compact_minhash_tables(spark, name_prefix: str, buckets: int = 32) -> dict:
             f"{name_prefix}: a previous append_minhash_tables did not "
             "complete — compacting now would bake the torn state in. "
             "Rebuild with write_minhash_tables over the full corpus."
+        )
+    stored = read_minhash_params(spark, name_prefix)
+    if buckets is None:
+        buckets = stored["buckets"] if stored else 32
+    elif stored is not None and stored.get("buckets") != buckets:
+        raise ValueError(
+            f"{name_prefix}: buckets={buckets} disagrees with the value "
+            f"the tables were written under ({stored['buckets']}); a "
+            "mismatched compaction would silently re-bucket the tables "
+            "out from under every bucket-aligned join. Omit buckets to "
+            "use the stored value."
         )
     return {
         "shingles": _compact_bucketed_table(

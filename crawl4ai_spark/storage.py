@@ -63,6 +63,26 @@ def _count_data_files(path: str) -> int:
     return n
 
 
+def _sweep_orphan_compaction_dirs(path: str) -> None:
+    """Remove sibling ``<name>.compacting-*`` / ``<name>.precompact-*``
+    dirs left by crashed compactions. The tmp name is a fresh uuid per
+    attempt, so a crash BEFORE the marker write (mid-copy, or a failed
+    row-count verify whose rmtree didn't finish) strands a table-sized
+    copy no later marker references — each crashed attempt would leak one
+    forever. Called after marker recovery: at that point any surviving
+    sibling with these prefixes is by construction an orphan (the marker
+    window's tmp/old were just resolved and the names are unique)."""
+    base = path.rstrip("/")
+    parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+    try:
+        siblings = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for entry in siblings:
+        if entry.startswith((f"{name}.compacting-", f"{name}.precompact-")):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
 def _recover_compaction(path: str, marker: str) -> None:
     """Finish or roll back a compaction that crashed mid-swap. Every crash
     window leaves a state this can resolve without data loss, because the
@@ -125,9 +145,13 @@ def compact_partitioned_table(
     wants snapshot isolation): the compacted copy is fully written to a
     sibling tmp dir FIRST, then a marker records the swap, then
     rename(path→old), rename(tmp→path), cleanup, marker removed. A crash
-    anywhere leaves a marker a later call auto-recovers from (see
-    ``_recover_compaction``) — both generations are on disk until the
-    moment the promote rename lands, so no window loses rows.
+    inside the marker window leaves a marker a later call auto-recovers
+    from (see ``_recover_compaction``); a crash BEFORE the marker (mid
+    copy or failed verify) leaves only an unreferenced uuid-named tmp
+    dir, which the next call sweeps (``_sweep_orphan_compaction_dirs``)
+    instead of leaking one table-sized copy per crashed attempt. Both
+    generations are on disk until the moment the promote rename lands,
+    so no window loses rows.
 
     ``verify_count=True`` pays one extra count job to assert the rewrite
     preserved the row count before the swap — the honest price on an
@@ -136,6 +160,7 @@ def compact_partitioned_table(
     marker = _marker_path(path)
     if os.path.exists(marker):
         _recover_compaction(path, marker)
+    _sweep_orphan_compaction_dirs(path)
     hexid = uuid.uuid4().hex
     tmp = path.rstrip("/") + f".compacting-{hexid}"
     old = path.rstrip("/") + f".precompact-{hexid}"

@@ -213,3 +213,25 @@ def test_quality_model_gate(spark, corpus, curated):
     # without a model the column is NULL and nothing drops at that stage
     assert curated.filter("drop_stage = 'quality_clf'").count() == 0
     assert curated.filter("quality_prob IS NOT NULL").count() == 0
+
+
+def test_embed_probe_null_vectors_and_empty_planes(spark, corpus):
+    """The default-planes dimension probe skips NULL vectors instead of
+    raising TypeError on whatever row limit(1) happens to pick; an
+    all-null frame raises the named error; an explicitly empty
+    embed_planes list is rejected rather than silently hashing every
+    vector into one bucket."""
+    ids = [int(r.doc_id) for r in corpus.select("doc_id").limit(3).collect()]
+    rows = [(ids[0], None), (ids[1], [1.0] * 8), (ids[2], [0.5] * 8)]
+    embs = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    # construction runs the probe (the one eager step) — must not crash
+    out = curate_corpus(corpus, embeddings=embs, **RELAXED)
+    assert "is_embed_dup" in out.columns
+
+    allnull = spark.createDataFrame(
+        [(ids[0], None)], "doc_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        curate_corpus(corpus, embeddings=allnull, **RELAXED)
+    with pytest.raises(ValueError, match="empty"):
+        curate_corpus(corpus, embeddings=embs, embed_planes=[], **RELAXED)

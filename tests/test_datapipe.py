@@ -1450,3 +1450,86 @@ def test_unigram_lm_vocab_tiebreak_deterministic(spark):
     for _ in range(3):
         vocab, _, _ = train_unigram_lm(df.repartition(5), vocab_size=1)
         assert [r.token for r in vocab.collect()] == ["a"]
+
+
+def test_compact_sweeps_orphan_pre_marker_tmp(spark, tmp_path):
+    """A crash BEFORE the marker write (mid-copy or failed verify) leaves
+    a uuid-named tmp dir no marker references — each crashed attempt
+    would leak one table-sized copy forever. The next compact call must
+    sweep such orphans (both name shapes), then compact normally."""
+    import os
+    import shutil
+
+    from crawl4ai_spark.storage import (
+        compact_partitioned_table,
+        salted_partition_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, part int"
+    )
+    path = str(tmp_path / "t")
+    salted_partition_write(df, path, ["part"], F.col("id"), 1)
+    orphan_tmp = path + ".compacting-deadbeef"
+    orphan_old = path + ".precompact-cafebabe"
+    shutil.copytree(path, orphan_tmp)
+    shutil.copytree(path, orphan_old)
+    stats = compact_partitioned_table(spark, path, ["part"], "id", 1)
+    assert stats["rows"] == 30
+    assert spark.read.parquet(path).count() == 30
+    assert not os.path.exists(orphan_tmp)
+    assert not os.path.exists(orphan_old)
+
+
+def test_minhash_params_sidecar_guards_mismatched_callers(spark, sf_dir):
+    """write_minhash_tables persists its construction parameters beside
+    the shingle table; increment/append under mismatched values raise a
+    named ValueError instead of silently producing near-zero pairs
+    (band keys would simply never match). Matching callers pass, and the
+    sidecar survives compaction."""
+    import pytest as _pytest
+
+    from crawl4ai_spark.datapipe.dedup import (
+        append_minhash_tables,
+        compact_minhash_tables,
+        minhash_pairs_increment,
+        read_minhash_params,
+        write_minhash_tables,
+    )
+    from crawl4ai_spark.datapipe.textstats import portable_hash
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 40")
+    )
+    write_minhash_tables(docs, "doc_id", "text", "t_par", hash_fn=F.xxhash64,
+                         buckets=2)
+    assert read_minhash_params(spark, "t_par") == {
+        "k": 3, "num_hashes": 16, "bands": 4, "buckets": 2,
+        "hash_fn": "xxhash64",
+    }
+    batch = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(" "), "text").alias("text"),
+    )
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_pairs_increment(spark, batch, "t_par", bands=8,
+                                hash_fn=F.xxhash64)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        append_minhash_tables(spark, batch, "t_par", hash_fn=portable_hash,
+                              buckets=2)
+    with _pytest.raises(ValueError, match="buckets"):
+        append_minhash_tables(spark, batch, "t_par", hash_fn=F.xxhash64,
+                              buckets=8)
+    # matching parameters pass end-to-end
+    assert minhash_pairs_increment(
+        spark, batch, "t_par", hash_fn=F.xxhash64
+    ).count() > 0
+    spark.catalog.clearCache()
+    # the sidecar is carried through the compaction swap
+    compact_minhash_tables(spark, "t_par", buckets=2)
+    assert read_minhash_params(spark, "t_par") == {
+        "k": 3, "num_hashes": 16, "bands": 4, "buckets": 2,
+        "hash_fn": "xxhash64",
+    }
