@@ -749,7 +749,19 @@ def main() -> None:
         rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
         print(json.dumps(run_extract_scale(sf_dir, cpus, rep)))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir, submit="--submit" in sys.argv)))
+        # --levels LO,HI picks the two parallelism levels (default 4,16);
+        # e.g. --levels 8,32 measures the same N→4N ratio at double the
+        # absolute scale — a second "two cluster sizes" data point for
+        # the scaling-efficiency criterion
+        levels = (4, 16)
+        if "--levels" in sys.argv:
+            raw = sys.argv[sys.argv.index("--levels") + 1]
+            levels = tuple(int(x) for x in raw.split(","))
+            if len(levels) != 2 or levels[0] >= levels[1]:
+                raise SystemExit(f"--levels wants LO,HI with LO < HI; got {raw}")
+        print(json.dumps(run_scaling(
+            sf_dir, levels=levels, submit="--submit" in sys.argv
+        )))
     else:
         print(json.dumps(run_bench(sf_dir, cpus)))
 

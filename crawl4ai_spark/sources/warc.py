@@ -1,0 +1,267 @@
+"""WARC segment source — Common Crawl's native archive format (ISO
+28500 / WARC 1.0-1.1) restated as a distributed Spark scan.
+
+The north-star corpus is "Common-Crawl-style web pages"; the format those
+pages actually arrive in is WARC: segment files of concatenated records,
+each record a header block (``WARC/1.0`` + ``Name: value`` lines) followed
+by ``Content-Length`` bytes of payload, where a *response* record's payload
+is a raw HTTP/1.1 response (status line, headers, blank line, body). CC
+publishes each segment with every record gzip-compressed individually and
+the members concatenated — so a segment is also one valid multi-member
+gzip stream.
+
+Scale shape (100 TB = one CC crawl):
+
+- ``spark.read.format("binaryFile")`` delivers ONE TASK PER SEGMENT FILE.
+  WARC is not block-splittable anyway (records are back-to-back gzip
+  members with no sync markers), so per-file tasks are the native
+  parallelism unit — a CC crawl ships ~72k segments of ~1 GB, far more
+  tasks than any executor count, and this is exactly how production CC
+  readers (e.g. the cc-pyspark pattern) schedule the scan.
+- parsing runs inside ``mapInPandas`` (Arrow batches, no row-at-a-time
+  Python), one segment's records per yielded batch; task memory is
+  bounded by one decompressed segment.
+- everything downstream is the ordinary pages schema, so extraction,
+  crawling and the datapipe run unchanged on WARC input.
+
+The parser is from scratch on the published spec (no warcio in the
+sandbox); the writer exists so tests and the driver oracle can prove the
+parser INVERTS a known byte stream (including HTTP header stripping,
+multi-record framing, per-record gzip members, and non-response record
+skipping) rather than merely not crashing.
+"""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+RECORD_SCHEMA = (
+    "segment string, url string, warc_ts timestamp, record_type string, "
+    "http_status int, content_type string, payload binary"
+)
+
+
+def build_warc_record(
+    record_type: str,
+    url: str | None,
+    date: str,
+    payload: bytes,
+    http_status: int = 200,
+    http_content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """One uncompressed WARC/1.0 record. ``response``/``request`` records
+    wrap ``payload`` in an HTTP message (that is what the spec stores —
+    the raw protocol bytes, not the bare document); other types carry the
+    payload verbatim."""
+    if record_type in ("response", "request"):
+        if record_type == "response":
+            head = (
+                f"HTTP/1.1 {http_status} OK\r\n"
+                f"Content-Type: {http_content_type}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("ascii")
+        else:
+            head = (
+                f"GET {url} HTTP/1.1\r\nHost: placeholder\r\n\r\n"
+            ).encode("ascii")
+        block = head + payload
+        ctype = f"application/http; msgtype={record_type}"
+    else:
+        block = payload
+        ctype = "application/warc-fields"
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {record_type}".encode("ascii"),
+        f"WARC-Date: {date}".encode("ascii"),
+        f"Content-Type: {ctype}".encode("ascii"),
+        f"Content-Length: {len(block)}".encode("ascii"),
+    ]
+    if url is not None:
+        headers.insert(2, f"WARC-Target-URI: {url}".encode("ascii"))
+    return _CRLF.join(headers) + _CRLF * 2 + block + _CRLF * 2
+
+
+def build_warc_bytes(
+    records: list[tuple[str, str | None, str, bytes]],
+    per_record_gzip: bool = False,
+) -> bytes:
+    """A whole segment from (record_type, url, date, payload) tuples.
+    ``per_record_gzip=True`` emits the Common Crawl layout: each record
+    its own gzip member, members concatenated."""
+    out = []
+    for record_type, url, date, payload in records:
+        raw = build_warc_record(record_type, url, date, payload)
+        out.append(gzip.compress(raw) if per_record_gzip else raw)
+    return b"".join(out)
+
+
+def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from raw HTTP response bytes. A block
+    with no header/body separator is returned whole as the body with no
+    status — truncated-in-transit records surface their bytes rather than
+    vanishing."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, block
+    head, body = block[:sep], block[sep + 4:]
+    lines = head.split(_CRLF)
+    status = None
+    first = lines[0].split(b" ", 2)
+    if len(first) >= 2 and first[0].startswith(b"HTTP/"):
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+    return status, ctype, body
+
+
+def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
+    """Parse one segment's bytes (plain or gzip, single- or multi-member)
+    into record dicts: {record_type, url, warc_ts, http_status,
+    content_type, payload}. Header names are case-insensitive per spec.
+
+    ``strict=True`` raises ValueError on a malformed or truncated record
+    (the exactness default everywhere in this repo); ``strict=False``
+    yields the records that parsed and stops at the damage — CC segments
+    occasionally end in a truncated record, and a 72k-task scan should
+    salvage 71,999 good segments, not die on the one bad tail."""
+    if data[:2] == _GZIP_MAGIC:
+        data = gzip.decompress(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not data[pos:pos + 5] == b"WARC/":
+            if strict:
+                raise ValueError(
+                    f"malformed WARC record at byte {pos}: no version line "
+                    "or unterminated header block"
+                )
+            return
+        headers: dict[str, str] = {}
+        for ln in data[pos:head_end].split(_CRLF)[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            if strict:
+                raise ValueError(
+                    f"WARC record at byte {pos} has no valid Content-Length"
+                )
+            return
+        body_start = head_end + 4
+        if body_start + length > n:
+            if strict:
+                raise ValueError(
+                    f"truncated WARC record at byte {pos}: Content-Length "
+                    f"{length} runs past end of stream"
+                )
+            return
+        block = data[body_start:body_start + length]
+        record_type = headers.get("warc-type", "")
+        status = ctype = None
+        payload = block
+        if headers.get("content-type", "").startswith("application/http"):
+            status, ctype, payload = _parse_http_response(block)
+        ts = None
+        date = headers.get("warc-date")
+        if date:
+            try:
+                ts = datetime.fromisoformat(date.replace("Z", "+00:00"))
+                if ts.tzinfo is not None:
+                    ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            except ValueError:
+                if strict:
+                    raise ValueError(
+                        f"WARC record at byte {pos} has unparseable "
+                        f"WARC-Date {date!r}"
+                    )
+        yield {
+            "record_type": record_type,
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": ts,
+            "http_status": status,
+            "content_type": ctype,
+            "payload": payload,
+        }
+        pos = body_start + length
+
+
+def warc_records(
+    spark: SparkSession, path_glob: str, strict: bool = True
+) -> DataFrame:
+    """The full record table from a segment glob — one task per segment
+    (see module docstring), Arrow-batched parsing, no driver-side bytes:
+
+    (segment, url, warc_ts, record_type, http_status, content_type,
+    payload)."""
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = [
+                    {
+                        "segment": path,
+                        "url": r["url"],
+                        "warc_ts": r["warc_ts"],
+                        "record_type": r["record_type"],
+                        "http_status": r["http_status"],
+                        "content_type": r["content_type"],
+                        "payload": r["payload"],
+                    }
+                    for r in parse_warc_stream(bytes(content), strict=strict)
+                ]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return raw.mapInPandas(parse, RECORD_SCHEMA)
+
+
+def pages_from_warc(
+    spark: SparkSession,
+    path_glob: str,
+    strict: bool = True,
+    ok_status_only: bool = True,
+) -> DataFrame:
+    """WARC response records projected onto the pages schema
+    (url, warc_ts, html, text, lang) — drop-in input for extraction, the
+    crawl loop, and the whole datapipe. ``ok_status_only`` keeps HTTP 200
+    responses (the CC-index default); pass False to keep every response
+    record regardless of status."""
+    recs = warc_records(spark, path_glob, strict=strict).filter(
+        (F.col("record_type") == "response") & F.col("url").isNotNull()
+    )
+    if ok_status_only:
+        recs = recs.filter(F.col("http_status") == 200)
+    return recs.select(
+        "url",
+        "warc_ts",
+        F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

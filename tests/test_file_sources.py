@@ -37,3 +37,118 @@ def test_pages_from_raw(spark):
     ).collect()
     assert any("## Named" in r.md for r in md)
     assert any("anonymous doc" in r.md for r in md)
+
+
+# -- WARC segment source ------------------------------------------------------
+
+
+def _mk_records(n, tag=""):
+    return [
+        (
+            "response",
+            f"https://warc.example/{tag}doc{i}",
+            f"2024-01-01T00:00:{i:02d}Z",
+            f"<html><body><p>warc body {tag}{i}</p></body></html>".encode(),
+        )
+        for i in range(n)
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    """The distributed parse inverts the writer for both layouts: plain
+    concatenated records and the CC per-record-gzip member stream —
+    including HTTP header stripping (payload = body bytes only) and
+    timestamp parsing."""
+    from crawl4ai_spark.sources.warc import build_warc_bytes, pages_from_warc
+
+    recs = _mk_records(5)
+    (tmp_path / "seg0.warc").write_bytes(build_warc_bytes(recs))
+    (tmp_path / "seg1.warc.gz").write_bytes(
+        build_warc_bytes(_mk_records(3, tag="gz"), per_record_gzip=True)
+    )
+    pages = pages_from_warc(spark, str(tmp_path / "seg*"))
+    rows = {r.url: r for r in pages.collect()}
+    assert len(rows) == 8
+    for i in range(5):
+        r = rows[f"https://warc.example/doc{i}"]
+        assert bytes(r.html) == recs[i][3]  # HTTP headers stripped
+        assert r.warc_ts.second == i
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_warc_skips_non_response_and_non_200(spark, tmp_path):
+    """warcinfo/request records never surface as pages; non-200 responses
+    are dropped by default and kept with ok_status_only=False."""
+    from crawl4ai_spark.sources.warc import (
+        build_warc_bytes,
+        build_warc_record,
+        pages_from_warc,
+        warc_records,
+    )
+
+    seg = (
+        build_warc_record("warcinfo", None, "2024-01-01T00:00:00Z",
+                          b"software: test\r\n")
+        + build_warc_record("request", "https://warc.example/a",
+                            "2024-01-01T00:00:00Z", b"")
+        + build_warc_bytes(_mk_records(2))
+        + build_warc_record("response", "https://warc.example/gone",
+                            "2024-01-01T00:00:09Z", b"not here",
+                            http_status=404)
+    )
+    (tmp_path / "seg.warc").write_bytes(seg)
+    glob = str(tmp_path / "*.warc")
+    all_recs = warc_records(spark, glob)
+    assert all_recs.count() == 5
+    assert {r.record_type for r in all_recs.collect()} == {
+        "warcinfo", "request", "response"
+    }
+    ok = pages_from_warc(spark, glob)
+    assert {r.url for r in ok.collect()} == {
+        "https://warc.example/doc0", "https://warc.example/doc1"
+    }
+    with_404 = pages_from_warc(spark, glob, ok_status_only=False)
+    assert with_404.count() == 3
+    gone = {r.url: bytes(r.html) for r in with_404.collect()}
+    assert gone["https://warc.example/gone"] == b"not here"
+
+
+def test_warc_truncation_strict_vs_lenient(spark, tmp_path):
+    """A segment ending in a truncated record: strict raises the named
+    error; lenient salvages the complete records and stops at the
+    damage."""
+    import pytest
+
+    from crawl4ai_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc_stream,
+        pages_from_warc,
+    )
+
+    good = build_warc_bytes(_mk_records(3))
+    torn = good + build_warc_bytes(_mk_records(1, tag="torn"))[:-30]
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc_stream(torn))
+    assert len(list(parse_warc_stream(torn, strict=False))) == 3
+    (tmp_path / "seg.warc").write_bytes(torn)
+    lenient = pages_from_warc(spark, str(tmp_path / "*.warc"), strict=False)
+    assert lenient.count() == 3
+
+
+def test_warc_pages_feed_extraction(spark, tmp_path):
+    """WARC input is a drop-in for the standard extract pipeline — the
+    whole point of projecting onto the pages schema."""
+    from crawl4ai_spark.sources.warc import build_warc_bytes, pages_from_warc
+
+    recs = [
+        ("response", "https://warc.example/h", "2024-01-01T00:00:00Z",
+         b"<html><body><h1>Warc Title</h1><p>warc paragraph</p></body></html>")
+    ]
+    (tmp_path / "s.warc.gz").write_bytes(
+        build_warc_bytes(recs, per_record_gzip=True)
+    )
+    pages = pages_from_warc(spark, str(tmp_path / "*.warc.gz"))
+    md = extract_pages(pages).select(
+        F.col("markdown.raw_markdown").alias("md")
+    ).collect()
+    assert len(md) == 1 and "# Warc Title" in md[0].md
