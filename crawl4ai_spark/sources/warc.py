@@ -76,7 +76,12 @@ def build_warc_record(
         ctype = f"application/http; msgtype={record_type}"
     else:
         block = payload
-        ctype = "application/warc-fields"
+        # WET extracted-text records are `conversion` type with a
+        # text/plain payload (no HTTP wrapper); everything else metadata
+        ctype = (
+            "text/plain" if record_type == "conversion"
+            else "application/warc-fields"
+        )
     headers = [
         b"WARC/1.0",
         f"WARC-Type: {record_type}".encode("ascii"),
@@ -264,4 +269,23 @@ def pages_from_warc(
         F.col("payload").alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def texts_from_wet(
+    spark: SparkSession, path_glob: str, strict: bool = True
+) -> DataFrame:
+    """WET segments (CC's pre-extracted text distribution — the same WARC
+    framing, but ``conversion`` records whose payload is the page's
+    extracted text, no HTTP wrapper) as (url, warc_ts, text) — the
+    direct feed for the text datapipe (dedup, quality screens, curation)
+    when the HTML tier isn't needed. Same one-task-per-segment scan
+    shape as ``warc_records``."""
+    recs = warc_records(spark, path_glob, strict=strict).filter(
+        (F.col("record_type") == "conversion") & F.col("url").isNotNull()
+    )
+    return recs.select(
+        "url",
+        "warc_ts",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
     )

@@ -152,3 +152,38 @@ def test_warc_pages_feed_extraction(spark, tmp_path):
         F.col("markdown.raw_markdown").alias("md")
     ).collect()
     assert len(md) == 1 and "# Warc Title" in md[0].md
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET segments (conversion records, text/plain payload, no HTTP
+    wrapper) surface as (url, warc_ts, text) and feed the text datapipe
+    directly."""
+    from crawl4ai_spark.sources.warc import build_warc_bytes, texts_from_wet
+
+    recs = [
+        ("conversion", f"https://wet.example/{i}", f"2024-01-01T00:00:{i:02d}Z",
+         f"extracted page text number {i}. second sentence here.".encode())
+        for i in range(4)
+    ]
+    seg = build_warc_bytes(
+        [("warcinfo", None, "2024-01-01T00:00:00Z", b"software: wet\r\n")]
+        + recs,
+        per_record_gzip=True,
+    )
+    (tmp_path / "s.warc.wet.gz").write_bytes(seg)
+    wet = texts_from_wet(spark, str(tmp_path / "*.wet.gz"))
+    rows = {r.url: r for r in wet.collect()}
+    assert len(rows) == 4
+    for i in range(4):
+        r = rows[f"https://wet.example/{i}"]
+        assert r.text == f"extracted page text number {i}. second sentence here."
+        assert r.warc_ts.second == i
+
+    from crawl4ai_spark.datapipe.textstats import lang_id_col, quality_score_col
+
+    q = wet.select(
+        "url",
+        quality_score_col("text").alias("q"),
+        lang_id_col("text").alias("lang"),
+    ).collect()
+    assert len(q) == 4 and all(r.q is not None and r.lang for r in q)
