@@ -755,8 +755,13 @@ def main() -> None:
         # the scaling-efficiency criterion
         levels = (4, 16)
         if "--levels" in sys.argv:
-            raw = sys.argv[sys.argv.index("--levels") + 1]
-            levels = tuple(int(x) for x in raw.split(","))
+            try:
+                raw = sys.argv[sys.argv.index("--levels") + 1]
+                levels = tuple(int(x) for x in raw.split(","))
+            except (IndexError, ValueError):
+                raise SystemExit(
+                    "--levels wants LO,HI core counts, e.g. --levels 8,32"
+                )
             if len(levels) != 2 or levels[0] >= levels[1]:
                 raise SystemExit(f"--levels wants LO,HI with LO < HI; got {raw}")
         print(json.dumps(run_scaling(

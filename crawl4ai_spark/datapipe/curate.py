@@ -269,18 +269,24 @@ def curate_corpus(
         else:
             # dimension probe for the default planes: one bounded collect
             # at plan-construction time (the only eager job in
-            # curate_corpus); null vectors are junk rows, not evidence of
-            # the corpus dimension, so probe past them
+            # curate_corpus); null and zero-length vectors are junk rows,
+            # not evidence of the corpus dimension (dim 0 would make 8
+            # empty planes — the same one-bucket degeneracy the empty
+            # embed_planes guard above rejects), so probe past them
             first = (
                 embeddings.select(embed_vec_col)
-                .filter(F.col(embed_vec_col).isNotNull())
+                .filter(
+                    F.col(embed_vec_col).isNotNull()
+                    & (F.size(embed_vec_col) > 0)
+                )
                 .limit(1)
                 .collect()
             )
             if not first:
                 raise ValueError(
-                    "embeddings frame has no non-null vectors; pass "
-                    "embed_planes explicitly or drop the embedding tier"
+                    "embeddings frame has no non-null, non-empty vectors; "
+                    "pass embed_planes explicitly or drop the embedding "
+                    "tier"
                 )
             dim = len(first[0][0])
             planes = hyperplanes(8, dim)

@@ -133,18 +133,57 @@ def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+def _gunzip_members(data: bytes, strict: bool) -> bytes:
+    """Decompress a multi-member gzip stream member by member — NOT
+    ``gzip.decompress``, which raises EOFError/BadGzipFile on a truncated
+    or corrupt member before yielding anything. Member-wise, a truncated
+    final member (the real-world CC damage mode: per-record members, tail
+    cut in transit) either raises a proper ValueError (strict) or returns
+    every complete member's bytes so the record-level salvage logic gets
+    its chance (lenient). A corrupt MIDDLE member still ends the salvage
+    there — gzip has no sync marker to resync on, so the remainder of
+    that segment is genuinely unrecoverable."""
+    import zlib
+
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error as e:
+            if strict:
+                raise ValueError(
+                    f"corrupt gzip member at byte {pos}: {e}"
+                ) from e
+            return bytes(out)
+        if not d.eof:
+            if strict:
+                raise ValueError(
+                    f"truncated gzip member at byte {pos}: stream ends "
+                    "before the member's end-of-stream marker"
+                )
+            return bytes(out)
+        out += chunk
+        pos = n - len(d.unused_data)
+    return bytes(out)
+
+
 def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
     """Parse one segment's bytes (plain or gzip, single- or multi-member)
     into record dicts: {record_type, url, warc_ts, http_status,
-    content_type, payload}. Header names are case-insensitive per spec.
+    content_type, payload}. Header names are case-insensitive per spec,
+    and LWS-folded continuation lines (a spec-valid header value split
+    across lines, the next line starting with space/tab) are unfolded.
 
     ``strict=True`` raises ValueError on a malformed or truncated record
-    (the exactness default everywhere in this repo); ``strict=False``
-    yields the records that parsed and stops at the damage — CC segments
-    occasionally end in a truncated record, and a 72k-task scan should
-    salvage 71,999 good segments, not die on the one bad tail."""
+    or gzip member (the exactness default everywhere in this repo);
+    ``strict=False`` yields the records that parsed and stops at the
+    damage — CC segments occasionally end in a truncated record, and a
+    72k-task scan should salvage 71,999 good segments, not die on the
+    one bad tail."""
     if data[:2] == _GZIP_MAGIC:
-        data = gzip.decompress(data)
+        data = _gunzip_members(data, strict)
     pos, n = 0, len(data)
     while pos < n:
         # skip inter-record CRLFs
@@ -161,11 +200,15 @@ def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
                 )
             return
         headers: dict[str, str] = {}
+        last_key: str | None = None
         for ln in data[pos:head_end].split(_CRLF)[1:]:
+            if ln[:1] in (b" ", b"\t") and last_key is not None:
+                # LWS-folded continuation of the previous header value
+                headers[last_key] += " " + ln.strip().decode("latin-1")
+                continue
             k, _, v = ln.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1"
-            )
+            last_key = k.strip().lower().decode("latin-1")
+            headers[last_key] = v.strip().decode("latin-1")
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):

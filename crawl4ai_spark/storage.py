@@ -63,6 +63,15 @@ def _count_data_files(path: str) -> int:
     return n
 
 
+# a compaction attempt's tmp/old dirs younger than this are never swept:
+# the whole protocol is single-writer (see compact_partitioned_table), but
+# if an operator DOES overlap two compactions of one table, the age gate
+# keeps the second run from rmtree'ing the first one's live swap dirs —
+# the stranded dirs of a genuine crash are simply collected by the next
+# compaction that runs after the window instead
+ORPHAN_SWEEP_MIN_AGE_S = 3600
+
+
 def _sweep_orphan_compaction_dirs(path: str) -> None:
     """Remove sibling ``<name>.compacting-*`` / ``<name>.precompact-*``
     dirs left by crashed compactions. The tmp name is a fresh uuid per
@@ -70,17 +79,28 @@ def _sweep_orphan_compaction_dirs(path: str) -> None:
     row-count verify whose rmtree didn't finish) strands a table-sized
     copy no later marker references — each crashed attempt would leak one
     forever. Called after marker recovery: at that point any surviving
-    sibling with these prefixes is by construction an orphan (the marker
-    window's tmp/old were just resolved and the names are unique)."""
+    sibling with these prefixes older than ``ORPHAN_SWEEP_MIN_AGE_S`` is
+    an orphan — the marker window's tmp/old were just resolved, the names
+    are unique per attempt, and the age gate excludes the one thing the
+    single-writer contract can't (another attempt started moments ago)."""
+    import time
+
     base = path.rstrip("/")
     parent, name = os.path.dirname(base) or ".", os.path.basename(base)
     try:
         siblings = os.listdir(parent)
     except FileNotFoundError:
         return
+    cutoff = time.time() - ORPHAN_SWEEP_MIN_AGE_S
     for entry in siblings:
         if entry.startswith((f"{name}.compacting-", f"{name}.precompact-")):
-            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+            full = os.path.join(parent, entry)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def _recover_compaction(path: str, marker: str) -> None:
@@ -148,8 +168,11 @@ def compact_partitioned_table(
     inside the marker window leaves a marker a later call auto-recovers
     from (see ``_recover_compaction``); a crash BEFORE the marker (mid
     copy or failed verify) leaves only an unreferenced uuid-named tmp
-    dir, which the next call sweeps (``_sweep_orphan_compaction_dirs``)
-    instead of leaking one table-sized copy per crashed attempt. Both
+    dir, which a later call sweeps once it is older than
+    ``ORPHAN_SWEEP_MIN_AGE_S`` (``_sweep_orphan_compaction_dirs`` — the
+    age gate keeps an operator-error overlapping run from deleting a
+    live swap's dirs) instead of leaking one table-sized copy per
+    crashed attempt. Both
     generations are on disk until the moment the promote rename lands,
     so no window loses rows.
 

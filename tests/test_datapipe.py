@@ -1465,6 +1465,10 @@ def test_compact_sweeps_orphan_pre_marker_tmp(spark, tmp_path):
         salted_partition_write,
     )
 
+    import time
+
+    from crawl4ai_spark.storage import ORPHAN_SWEEP_MIN_AGE_S
+
     df = spark.createDataFrame(
         [(i, i % 3) for i in range(30)], "id long, part int"
     )
@@ -1472,13 +1476,21 @@ def test_compact_sweeps_orphan_pre_marker_tmp(spark, tmp_path):
     salted_partition_write(df, path, ["part"], F.col("id"), 1)
     orphan_tmp = path + ".compacting-deadbeef"
     orphan_old = path + ".precompact-cafebabe"
+    fresh_tmp = path + ".compacting-liveswap"
     shutil.copytree(path, orphan_tmp)
     shutil.copytree(path, orphan_old)
+    shutil.copytree(path, fresh_tmp)
+    # age the crashed attempt's dirs past the sweep gate; the fresh dir
+    # models a concurrently-running attempt's live swap and must survive
+    old_ts = time.time() - ORPHAN_SWEEP_MIN_AGE_S - 60
+    os.utime(orphan_tmp, (old_ts, old_ts))
+    os.utime(orphan_old, (old_ts, old_ts))
     stats = compact_partitioned_table(spark, path, ["part"], "id", 1)
     assert stats["rows"] == 30
     assert spark.read.parquet(path).count() == 30
     assert not os.path.exists(orphan_tmp)
     assert not os.path.exists(orphan_old)
+    assert os.path.exists(fresh_tmp)  # age gate: never sweep a live swap
 
 
 def test_minhash_params_sidecar_guards_mismatched_callers(spark, sf_dir):

@@ -187,3 +187,49 @@ def test_wet_conversion_records(spark, tmp_path):
         lang_id_col("text").alias("lang"),
     ).collect()
     assert len(q) == 4 and all(r.q is not None and r.lang for r in q)
+
+
+def test_warc_gzip_member_truncation_and_folded_headers(spark, tmp_path):
+    """The real CC damage mode: per-record-gzip segment whose final
+    member is cut mid-stream. Strict raises a named ValueError (never a
+    raw EOFError out of the gzip module); lenient salvages every
+    complete member's records. Also: ISO 28500 LWS-folded header values
+    unfold instead of truncating the url and planting a garbage key."""
+    import pytest
+
+    from crawl4ai_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc_stream,
+        pages_from_warc,
+    )
+
+    gz = build_warc_bytes(_mk_records(4), per_record_gzip=True)
+    torn = gz[:-25]
+    with pytest.raises(ValueError, match="gzip member"):
+        list(parse_warc_stream(torn))
+    assert len(list(parse_warc_stream(torn, strict=False))) == 3
+    (tmp_path / "t.warc.gz").write_bytes(torn)
+    lenient = pages_from_warc(spark, str(tmp_path / "t.warc.gz"), strict=False)
+    assert lenient.count() == 3
+    # corrupt middle member: salvage stops there, strict raises
+    bad = gz[: len(gz) // 2] + b"\x00garbage\x00" + gz[len(gz) // 2:]
+    with pytest.raises(ValueError, match="gzip member"):
+        list(parse_warc_stream(bad))
+    assert len(list(parse_warc_stream(bad, strict=False))) <= 3
+
+    folded = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://folded.example/very\r\n"
+        b"\t/long/path\r\n"
+        b"WARC-Date: 2024-01-01T00:00:05Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: 43\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nbody bytes here..!!....."
+        b"\r\n\r\n"
+    )
+    recs = list(parse_warc_stream(folded))
+    assert len(recs) == 1
+    assert recs[0]["url"] == "https://folded.example/very /long/path"
+    assert recs[0]["warc_ts"].second == 5
