@@ -34,6 +34,7 @@ skipping) rather than merely not crashing.
 from __future__ import annotations
 
 import gzip
+import os
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -312,6 +313,99 @@ def pages_from_warc(
         F.col("payload").alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    per_record_gzip: bool = True,
+    http_status_col: str | None = None,
+) -> DataFrame:
+    """Distributed WARC export sink: each input partition writes ONE
+    segment file (``part-<partition>-<uuid>.warc[.gz]``) from its rows'
+    (url, warc_ts, html) — response records in the CC per-record-gzip
+    layout by default, so the output is readable by ``pages_from_warc``
+    and by any standard WARC consumer. Returns the write manifest
+    (segment, n_records, n_bytes), one row per written file; the action
+    that materializes the manifest performs the writes.
+
+    Scale shape: the inverse of the reader — one task per output
+    segment, file bytes written executor-side (the driver never sees
+    them), segment count = input partition count, so callers size
+    segments with an ordinary ``repartition`` before the call. Files
+    land under a uuid per task attempt, so a retried task never corrupts
+    a finished file; like any file sink without a committer, a crashed
+    JOB can leave partial segments — callers wanting atomicity write to
+    a staging dir and rename, exactly as the snapshot tables do."""
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [F.col("url"), F.col("warc_ts"), F.col("html")]
+    if http_status_col is not None:
+        cols.append(F.col(http_status_col).alias("_status"))
+    rows_df = df.select(*cols)
+    suffix = ".warc.gz" if per_record_gzip else ".warc"
+
+    def write_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(
+            out_dir, f"part-{pid:05d}-{_uuid.uuid4().hex[:12]}{suffix}"
+        )
+        n = 0
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as f:
+            for pdf in batches:
+                # column access by name, not itertuples — pandas renames
+                # underscore-led columns positionally in namedtuples
+                statuses = (
+                    pdf["_status"]
+                    if http_status_col is not None
+                    else [None] * len(pdf)
+                )
+                recs = []
+                for url, ts, html, status in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], statuses
+                ):
+                    date = (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and not pd.isna(ts)
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    recs.append(
+                        build_warc_record(
+                            "response",
+                            url,
+                            date,
+                            bytes(html) if html is not None else b"",
+                            http_status=(
+                                int(status)
+                                if status is not None and not pd.isna(status)
+                                else 200
+                            ),
+                        )
+                    )
+                if per_record_gzip:
+                    f.write(b"".join(gzip.compress(r) for r in recs))
+                else:
+                    f.write(b"".join(recs))
+                n += len(recs)
+        if n == 0:
+            os.remove(tmp)
+            return
+        os.rename(tmp, path)
+        yield pd.DataFrame(
+            [{"segment": path, "n_records": n,
+              "n_bytes": os.path.getsize(path)}]
+        )
+
+    return rows_df.mapInPandas(
+        write_partition, "segment string, n_records long, n_bytes long"
     )
 
 

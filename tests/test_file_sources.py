@@ -233,3 +233,44 @@ def test_warc_gzip_member_truncation_and_folded_headers(spark, tmp_path):
     assert len(recs) == 1
     assert recs[0]["url"] == "https://folded.example/very /long/path"
     assert recs[0]["warc_ts"].second == 5
+
+
+def test_warc_sink_roundtrip(spark, tmp_path):
+    """write_warc (distributed, one segment per partition, executor-side
+    file bytes) roundtrips through pages_from_warc: same url/bytes/ts
+    set, segment count = partition count, manifest counts match; empty
+    partitions write nothing and leave no .inprogress litter."""
+    import glob as _glob
+
+    from crawl4ai_spark.sources.warc import pages_from_warc, write_warc
+
+    src = spark.createDataFrame(
+        [(f"https://sink.example/{i}",
+          f"<html><body><p>sink doc {i}</p></body></html>".encode())
+         for i in range(20)],
+        "url string, html binary",
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("warc_ts"),
+        "html",
+    )
+    out = str(tmp_path / "out")
+    manifest = write_warc(src.repartition(3), out).collect()
+    assert sum(m.n_records for m in manifest) == 20
+    assert len(manifest) == len(_glob.glob(out + "/part-*.warc.gz")) <= 3
+    assert not _glob.glob(out + "/*.inprogress")
+    back = pages_from_warc(spark, out + "/*.warc.gz")
+    rows = {r.url: r for r in back.collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        r = rows[f"https://sink.example/{i}"]
+        assert bytes(r.html) == f"<html><body><p>sink doc {i}</p></body></html>".encode()
+        assert str(r.warc_ts) == "2024-03-01 12:00:00"
+    # plain (non-gzip) layout and the http_status column
+    src2 = src.withColumn("status", F.lit(404))
+    out2 = str(tmp_path / "out2")
+    write_warc(src2.repartition(2), out2, per_record_gzip=False,
+               http_status_col="status").collect()
+    assert pages_from_warc(spark, out2 + "/*.warc").count() == 0  # all 404
+    assert pages_from_warc(spark, out2 + "/*.warc",
+                           ok_status_only=False).count() == 20
