@@ -314,6 +314,34 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             F.sum(F.col("pii.n_email") + F.col("pii.n_ipv4") + F.col("pii.n_phone")),
         ).collect()
 
+    # WARC interchange at 100k docs: the distributed sink writes the same
+    # ~100k-doc corpus as per-record-gzip segments (one per partition,
+    # executor-side bytes), then the one-task-per-segment scan reads every
+    # record back through the full parse (gzip members, header block, HTTP
+    # strip) — the evidence that the CC-native IO tier keeps up with the
+    # compute tiers it feeds. md5+length aggregate so no payload column is
+    # pruned out of the timed read.
+    from crawl4ai_spark.sources.warc import pages_from_warc, write_warc
+
+    warc_dir = f"{bench_root}/warc_100k"
+    warc_src = big.select(
+        F.concat(F.lit("https://bench.example/"), F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("html"),
+    )
+    timed(
+        "warc_sink_write_100k",
+        lambda: write_warc(warc_src.repartition(cpus * 2), warc_dir).count(),
+    )
+    timed(
+        "warc_scan_100k",
+        lambda: pages_from_warc(spark, f"{warc_dir}/*.warc.gz").agg(
+            F.count(F.lit(1)),
+            F.sum(F.length("html")),
+            F.sum(F.length(F.md5("html"))),
+        ).collect(),
+    )
+
     timed("clean_corpus_100k", q_clean)
     # consume every output column: the operator anchors its result on the
     # input id set via LEFT joins, so a bare count() references no

@@ -134,7 +134,9 @@ def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
-def _gunzip_members(data: bytes, strict: bool) -> bytes:
+def _gunzip_members(
+    data: bytes, strict: bool, members: list | None = None
+) -> bytes:
     """Decompress a multi-member gzip stream member by member — NOT
     ``gzip.decompress``, which raises EOFError/BadGzipFile on a truncated
     or corrupt member before yielding anything. Member-wise, a truncated
@@ -143,7 +145,12 @@ def _gunzip_members(data: bytes, strict: bool) -> bytes:
     every complete member's bytes so the record-level salvage logic gets
     its chance (lenient). A corrupt MIDDLE member still ends the salvage
     there — gzip has no sync marker to resync on, so the remainder of
-    that segment is genuinely unrecoverable."""
+    that segment is genuinely unrecoverable.
+
+    ``members`` (optional) collects (uncompressed_offset,
+    compressed_offset, compressed_length) per complete member — the
+    bookkeeping CDX offset indexing needs to point random-access reads
+    at individual compressed members."""
     import zlib
 
     out = bytearray()
@@ -165,17 +172,29 @@ def _gunzip_members(data: bytes, strict: bool) -> bytes:
                     "before the member's end-of-stream marker"
                 )
             return bytes(out)
+        end = n - len(d.unused_data)
+        if members is not None:
+            members.append((len(out), pos, end - pos))
         out += chunk
-        pos = n - len(d.unused_data)
+        pos = end
     return bytes(out)
 
 
-def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
+def parse_warc_stream(
+    data: bytes, strict: bool = True, with_offsets: bool = False
+) -> Iterator[dict]:
     """Parse one segment's bytes (plain or gzip, single- or multi-member)
     into record dicts: {record_type, url, warc_ts, http_status,
     content_type, payload}. Header names are case-insensitive per spec,
     and LWS-folded continuation lines (a spec-valid header value split
     across lines, the next line starting with space/tab) are unfolded.
+
+    ``with_offsets=True`` adds ``offset``/``length`` per record — the
+    byte range a random-access read needs: for a per-record-gzip segment
+    (the CC layout) that is the COMPRESSED member's range, for a plain
+    segment the record's own bytes. A whole-stream-gzip segment has no
+    per-record compressed ranges (records don't align with members), so
+    those records carry offset=None — scannable, not seekable.
 
     ``strict=True`` raises ValueError on a malformed or truncated record
     or gzip member (the exactness default everywhere in this repo);
@@ -183,8 +202,13 @@ def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
     damage — CC segments occasionally end in a truncated record, and a
     72k-task scan should salvage 71,999 good segments, not die on the
     one bad tail."""
-    if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data, strict)
+    member_map: dict[int, tuple[int, int]] = {}
+    compressed = data[:2] == _GZIP_MAGIC
+    if compressed:
+        members: list | None = [] if with_offsets else None
+        data = _gunzip_members(data, strict, members)
+        if members:
+            member_map = {u: (c, ln) for u, c, ln in members}
     pos, n = 0, len(data)
     while pos < n:
         # skip inter-record CRLFs
@@ -192,6 +216,7 @@ def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
             pos += 2
         if pos >= n:
             return
+        rec_start = pos
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0 or not data[pos:pos + 5] == b"WARC/":
             if strict:
@@ -245,7 +270,7 @@ def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
                         f"WARC record at byte {pos} has unparseable "
                         f"WARC-Date {date!r}"
                     )
-        yield {
+        rec = {
             "record_type": record_type,
             "url": headers.get("warc-target-uri"),
             "warc_ts": ts,
@@ -253,6 +278,15 @@ def parse_warc_stream(data: bytes, strict: bool = True) -> Iterator[dict]:
             "content_type": ctype,
             "payload": payload,
         }
+        if with_offsets:
+            if compressed:
+                rec["offset"], rec["length"] = member_map.get(
+                    rec_start, (None, None)
+                )
+            else:
+                rec["offset"] = rec_start
+                rec["length"] = body_start + length - rec_start
+        yield rec
         pos = body_start + length
 
 
@@ -425,4 +459,141 @@ def texts_from_wet(
         "url",
         "warc_ts",
         F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+def surt_key(url: str | None) -> str | None:
+    """SURT-style sort key (the CC index's urlkey convention): scheme
+    dropped, leading www. dropped, host labels reversed and
+    comma-joined, then ")/" + path?query, all lower-cased —
+    'https://sub.Example.com/A/b?q=1' → 'com,example,sub)/a/b?q=1'.
+    Groups every page of a site (and its subdomains) into one
+    lexicographic range, which is what makes a sorted CDX index
+    range-scannable by domain."""
+    if url is None:
+        return None
+    u = url.strip().lower()
+    for scheme in ("https://", "http://"):
+        if u.startswith(scheme):
+            u = u[len(scheme):]
+            break
+    host, sep, rest = u.partition("/")
+    host = host.removeprefix("www.")
+    return ",".join(reversed(host.split("."))) + ")/" + (
+        rest if sep else ""
+    )
+
+
+CDX_SCHEMA = (
+    "urlkey string, cdx_ts string, url string, mime string, status int, "
+    "digest string, offset long, length long, segment string, "
+    "record_type string"
+)
+
+
+def cdx_index(
+    spark: SparkSession, path_glob: str, strict: bool = True
+) -> DataFrame:
+    """A CC-style CDX index over a segment glob: one row per record with
+    (urlkey, cdx_ts yyyyMMddHHmmss, url, mime, status, md5 digest,
+    offset, length, segment, record_type). offset/length are the byte
+    range ``records_from_cdx`` seeks to — the compressed member for
+    per-record-gzip segments, the record's own bytes for plain ones.
+    Same one-task-per-segment scan as ``warc_records``; the index is the
+    once-per-crawl amortized step that makes every later targeted fetch
+    O(selected records), not O(corpus scan). Sort/partition the result
+    by urlkey when materializing (e.g. ``salted_partition_write``) for
+    domain-range pruning."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for r in parse_warc_stream(
+                    bytes(content), strict=strict, with_offsets=True
+                ):
+                    ts = r["warc_ts"]
+                    rows.append(
+                        {
+                            "urlkey": surt_key(r["url"]),
+                            "cdx_ts": (
+                                ts.strftime("%Y%m%d%H%M%S")
+                                if ts is not None
+                                else None
+                            ),
+                            "url": r["url"],
+                            "mime": r["content_type"],
+                            "status": r["http_status"],
+                            "digest": _hashlib.md5(r["payload"]).hexdigest(),
+                            "offset": r["offset"],
+                            "length": r["length"],
+                            "segment": path,
+                            "record_type": r["record_type"],
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return raw.mapInPandas(build, CDX_SCHEMA)
+
+
+def _local_path(segment: str) -> str:
+    """binaryFile paths come back URI-form (file:/... or file:///...);
+    open() wants the plain path."""
+    if segment.startswith("file:"):
+        p = segment[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    return segment
+
+
+def records_from_cdx(
+    spark: SparkSession, cdx: DataFrame, strict: bool = True
+) -> DataFrame:
+    """Random-access record fetch: read ONLY the (offset, length) ranges
+    a CDX selection names, never the rest of the segment — at a 72k-
+    segment crawl this is how 'fetch these 10k urls' costs 10k seeks
+    instead of a 100 TB scan. Ranges are grouped per segment
+    (repartition on the segment column) so each task opens its file
+    once; rows whose offset is NULL (whole-stream-gzip segments, not
+    seekable) are skipped. Returns the ``warc_records`` schema."""
+    import pandas as pd
+
+    sel = cdx.select("segment", "offset", "length").filter(
+        F.col("offset").isNotNull()
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for seg, grp in pdf.groupby("segment"):
+                rows = []
+                with open(_local_path(seg), "rb") as f:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        f.seek(int(off))
+                        chunk = f.read(int(ln))
+                        for r in parse_warc_stream(chunk, strict=strict):
+                            rows.append(
+                                {
+                                    "segment": seg,
+                                    "url": r["url"],
+                                    "warc_ts": r["warc_ts"],
+                                    "record_type": r["record_type"],
+                                    "http_status": r["http_status"],
+                                    "content_type": r["content_type"],
+                                    "payload": r["payload"],
+                                }
+                            )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return sel.repartition(F.col("segment")).mapInPandas(
+        fetch, RECORD_SCHEMA
     )

@@ -274,3 +274,45 @@ def test_warc_sink_roundtrip(spark, tmp_path):
     assert pages_from_warc(spark, out2 + "/*.warc").count() == 0  # all 404
     assert pages_from_warc(spark, out2 + "/*.warc",
                            ok_status_only=False).count() == 20
+
+
+def test_cdx_index_and_random_access(spark, tmp_path):
+    """cdx_index records seekable (offset, length) ranges — compressed
+    member ranges for the CC per-record-gzip layout, record byte ranges
+    for plain segments — and records_from_cdx reads EXACTLY those ranges
+    back into the full-scan result. SURT urlkeys group by reversed
+    host."""
+    from crawl4ai_spark.sources.warc import (
+        build_warc_bytes,
+        cdx_index,
+        records_from_cdx,
+        surt_key,
+    )
+
+    assert surt_key("https://sub.Example.com/A/b?q=1") == "com,example,sub)/a/b?q=1"
+    assert surt_key("http://www.example.com/") == "com,example)/"
+    assert surt_key("https://example.com") == "com,example)/"
+
+    (tmp_path / "a.warc.gz").write_bytes(
+        build_warc_bytes(_mk_records(4, tag="gz"), per_record_gzip=True)
+    )
+    (tmp_path / "b.warc").write_bytes(build_warc_bytes(_mk_records(3)))
+    glob = str(tmp_path / "*.warc*")
+    cdx = cdx_index(spark, glob)
+    rows = cdx.collect()
+    assert len(rows) == 7
+    assert all(r.offset is not None and r.length > 0 for r in rows)
+    assert all(r.urlkey.startswith("example,warc)/") for r in rows)
+    assert all(r.cdx_ts.startswith("20240101000") for r in rows)
+    # random access: pick 3 of 7 ranges, fetch, compare against full scan
+    from crawl4ai_spark.sources.warc import warc_records
+
+    want = {r.url for r in rows if r.url.endswith(("doc0", "gzdoc1", "gzdoc3"))}
+    sel = cdx.filter(F.col("url").isin(*want))
+    got = records_from_cdx(spark, sel).collect()
+    assert {r.url for r in got} == want
+    full = {r.url: r for r in warc_records(spark, glob).collect()}
+    for r in got:
+        assert bytes(r.payload) == bytes(full[r.url].payload)
+        assert r.warc_ts == full[r.url].warc_ts
+        assert r.http_status == full[r.url].http_status
