@@ -316,3 +316,48 @@ def test_cdx_index_and_random_access(spark, tmp_path):
         assert bytes(r.payload) == bytes(full[r.url].payload)
         assert r.warc_ts == full[r.url].warc_ts
         assert r.http_status == full[r.url].http_status
+
+
+def test_warc_roundtrip_property():
+    """Property fuzz (no Spark): ANY record list survives
+    build_warc_bytes -> parse_warc_stream byte-exactly, in both layouts —
+    arbitrary binary payloads (CRLFs, fake WARC headers, gzip magic
+    inside bodies must not confuse the framing), every record type, and
+    offset ranges that re-parse to the same record."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl4ai_spark.sources.warc import build_warc_bytes, parse_warc_stream
+
+    url_chars = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789/.-_?&=%~",
+        min_size=1, max_size=40,
+    )
+    record = st.tuples(
+        st.sampled_from(["response", "request", "warcinfo", "conversion"]),
+        url_chars.map(lambda s: f"https://fuzz.example/{s}"),
+        st.integers(min_value=0, max_value=59).map(
+            lambda s: f"2024-01-01T00:00:{s:02d}Z"
+        ),
+        st.binary(max_size=200),
+    )
+
+    @given(st.lists(record, max_size=8), st.booleans())
+    @settings(max_examples=150, deadline=None)
+    def check(recs, gz):
+        data = build_warc_bytes(recs, per_record_gzip=gz)
+        out = list(parse_warc_stream(data, with_offsets=True))
+        assert len(out) == len(recs)
+        for (rtype, url, date, payload), r in zip(recs, out):
+            assert r["record_type"] == rtype
+            assert r["url"] == url
+            assert r["payload"] == payload
+            assert r["warc_ts"].second == int(date[-3:-1])
+            assert r["http_status"] == (200 if rtype == "response" else None)
+            # the recorded byte range re-parses to the very same record
+            assert r["offset"] is not None
+            sl = data[r["offset"]:r["offset"] + r["length"]]
+            again = list(parse_warc_stream(sl))
+            assert len(again) == 1 and again[0]["payload"] == payload
+
+    check()
