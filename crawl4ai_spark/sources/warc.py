@@ -148,9 +148,10 @@ def _gunzip_members(
     that segment is genuinely unrecoverable.
 
     ``members`` (optional) collects (uncompressed_offset,
-    compressed_offset, compressed_length) per complete member — the
-    bookkeeping CDX offset indexing needs to point random-access reads
-    at individual compressed members."""
+    uncompressed_length, compressed_offset, compressed_length) per
+    complete member — the bookkeeping CDX offset indexing needs to point
+    random-access reads at individual compressed members, and to prove a
+    member holds exactly one record before calling it seekable."""
     import zlib
 
     out = bytearray()
@@ -174,7 +175,7 @@ def _gunzip_members(
             return bytes(out)
         end = n - len(d.unused_data)
         if members is not None:
-            members.append((len(out), pos, end - pos))
+            members.append((len(out), len(chunk), pos, end - pos))
         out += chunk
         pos = end
     return bytes(out)
@@ -202,13 +203,15 @@ def parse_warc_stream(
     damage — CC segments occasionally end in a truncated record, and a
     72k-task scan should salvage 71,999 good segments, not die on the
     one bad tail."""
-    member_map: dict[int, tuple[int, int]] = {}
+    member_map: dict[int, tuple[int, int, int]] = {}
     compressed = data[:2] == _GZIP_MAGIC
     if compressed:
         members: list | None = [] if with_offsets else None
         data = _gunzip_members(data, strict, members)
         if members:
-            member_map = {u: (c, ln) for u, c, ln in members}
+            member_map = {
+                u: (c, cln, u + uln) for u, uln, c, cln in members
+            }
     pos, n = 0, len(data)
     while pos < n:
         # skip inter-record CRLFs
@@ -279,13 +282,26 @@ def parse_warc_stream(
             "payload": payload,
         }
         if with_offsets:
+            rec_end = body_start + length
             if compressed:
-                rec["offset"], rec["length"] = member_map.get(
-                    rec_start, (None, None)
+                # seekable only when the member holds EXACTLY this record:
+                # it must start at the member's uncompressed offset AND
+                # nothing but inter-record CRLFs may follow it inside the
+                # member. A whole-stream-gzip segment fails this for its
+                # first record too (rec_start 0 == the single member's
+                # offset, but siblings follow), so it correctly reports
+                # offset=None instead of a range covering the whole file.
+                m = member_map.get(rec_start)
+                tail_ok = m is not None and rec_end <= m[2] and not (
+                    data[rec_end:m[2]].strip(b"\r\n")
                 )
+                if tail_ok:
+                    rec["offset"], rec["length"] = m[0], m[1]
+                else:
+                    rec["offset"] = rec["length"] = None
             else:
                 rec["offset"] = rec_start
-                rec["length"] = body_start + length - rec_start
+                rec["length"] = rec_end - rec_start
         yield rec
         pos = body_start + length
 
@@ -357,7 +373,7 @@ def write_warc(
     http_status_col: str | None = None,
 ) -> DataFrame:
     """Distributed WARC export sink: each input partition writes ONE
-    segment file (``part-<partition>-<uuid>.warc[.gz]``) from its rows'
+    segment file (``part-<partition>.warc[.gz]``) from its rows'
     (url, warc_ts, html) — response records in the CC per-record-gzip
     layout by default, so the output is readable by ``pages_from_warc``
     and by any standard WARC consumer. Returns the write manifest
@@ -367,11 +383,17 @@ def write_warc(
     Scale shape: the inverse of the reader — one task per output
     segment, file bytes written executor-side (the driver never sees
     them), segment count = input partition count, so callers size
-    segments with an ordinary ``repartition`` before the call. Files
-    land under a uuid per task attempt, so a retried task never corrupts
-    a finished file; like any file sink without a committer, a crashed
-    JOB can leave partial segments — callers wanting atomicity write to
-    a staging dir and rename, exactly as the snapshot tables do."""
+    segments with an ordinary ``repartition`` before the call.
+
+    Idempotence: the final name is DETERMINISTIC per partition and the
+    promote is an atomic ``os.replace`` from a uuid-named .inprogress
+    file, so a retried or speculative task attempt overwrites its own
+    partition's segment with identical content — never a duplicate
+    segment that would double every row on read. A rerun into the same
+    dir likewise overwrites; only a rerun with a DIFFERENT partition
+    count can strand stale part files, so write each job into a fresh
+    or cleaned dir (and stage+rename the dir for job-level atomicity,
+    exactly as the snapshot tables do)."""
     import uuid as _uuid
 
     import pandas as pd
@@ -388,11 +410,9 @@ def write_warc(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        path = os.path.join(
-            out_dir, f"part-{pid:05d}-{_uuid.uuid4().hex[:12]}{suffix}"
-        )
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
         n = 0
-        tmp = path + ".inprogress"
+        tmp = f"{path}.{_uuid.uuid4().hex[:12]}.inprogress"
         with open(tmp, "wb") as f:
             for pdf in batches:
                 # column access by name, not itertuples — pandas renames
@@ -432,7 +452,7 @@ def write_warc(
         if n == 0:
             os.remove(tmp)
             return
-        os.rename(tmp, path)
+        os.replace(tmp, path)  # atomic; retries overwrite, never duplicate
         yield pd.DataFrame(
             [{"segment": path, "n_records": n,
               "n_bytes": os.path.getsize(path)}]
@@ -477,11 +497,27 @@ def surt_key(url: str | None) -> str | None:
         if u.startswith(scheme):
             u = u[len(scheme):]
             break
-    host, sep, rest = u.partition("/")
+    # the authority ends at the first '/' OR '?' — a query with no path
+    # ('example.com?q=1') must not leak into the host part, or the key
+    # sorts outside its domain's lexicographic range
+    cut = len(u)
+    for ch in "/?":
+        idx = u.find(ch)
+        if idx != -1:
+            cut = min(cut, idx)
+    host, rest = u[:cut], u[cut:]
+    if not rest.startswith("/"):
+        rest = "/" + rest
+    # default ports dropped, explicit ones kept AFTER the reversed host
+    # so all of a site's captures share the 'com,example' prefix
+    h, _, p = host.rpartition(":")
+    port = ""
+    if p.isdigit() and h:
+        host = h
+        if p not in ("80", "443"):
+            port = ":" + p
     host = host.removeprefix("www.")
-    return ",".join(reversed(host.split("."))) + ")/" + (
-        rest if sep else ""
-    )
+    return ",".join(reversed(host.split("."))) + port + ")" + rest
 
 
 CDX_SCHEMA = (
@@ -572,27 +608,39 @@ def records_from_cdx(
     )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for seg, grp in pdf.groupby("segment"):
-                rows = []
-                with open(_local_path(seg), "rb") as f:
-                    for off, ln in zip(grp["offset"], grp["length"]):
-                        f.seek(int(off))
-                        chunk = f.read(int(ln))
-                        for r in parse_warc_stream(chunk, strict=strict):
-                            rows.append(
-                                {
-                                    "segment": seg,
-                                    "url": r["url"],
-                                    "warc_ts": r["warc_ts"],
-                                    "record_type": r["record_type"],
-                                    "http_status": r["http_status"],
-                                    "content_type": r["content_type"],
-                                    "payload": r["payload"],
-                                }
-                            )
-                if rows:
-                    yield pd.DataFrame(rows)
+        # concatenate the TASK's batches before grouping: a >10k-row
+        # selection for one segment arrives as several Arrow batches, and
+        # per-batch grouping would reopen the same file once per batch.
+        # The selection rows are three narrow columns, so holding a
+        # task's worth is cheap; sorting each group by offset turns the
+        # reads into one forward sweep instead of random back-seeks.
+        parts = list(batches)
+        if not parts:
+            return
+        all_pdf = pd.concat(parts, ignore_index=True)
+        if all_pdf.empty:
+            return
+        for seg, grp in all_pdf.groupby("segment"):
+            rows = []
+            srt = grp.sort_values("offset")
+            with open(_local_path(seg), "rb") as f:
+                for off, ln in zip(srt["offset"], srt["length"]):
+                    f.seek(int(off))
+                    chunk = f.read(int(ln))
+                    for r in parse_warc_stream(chunk, strict=strict):
+                        rows.append(
+                            {
+                                "segment": seg,
+                                "url": r["url"],
+                                "warc_ts": r["warc_ts"],
+                                "record_type": r["record_type"],
+                                "http_status": r["http_status"],
+                                "content_type": r["content_type"],
+                                "payload": r["payload"],
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
 
     return sel.repartition(F.col("segment")).mapInPandas(
         fetch, RECORD_SCHEMA

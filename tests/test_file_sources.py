@@ -292,6 +292,11 @@ def test_cdx_index_and_random_access(spark, tmp_path):
     assert surt_key("https://sub.Example.com/A/b?q=1") == "com,example,sub)/a/b?q=1"
     assert surt_key("http://www.example.com/") == "com,example)/"
     assert surt_key("https://example.com") == "com,example)/"
+    # query with no path must not leak into the host part of the key
+    assert surt_key("https://example.com?q=1") == "com,example)/?q=1"
+    # default ports drop; explicit ports sort after the reversed host
+    assert surt_key("https://example.com:443/x") == "com,example)/x"
+    assert surt_key("https://example.com:8080/x") == "com,example:8080)/x"
 
     (tmp_path / "a.warc.gz").write_bytes(
         build_warc_bytes(_mk_records(4, tag="gz"), per_record_gzip=True)
@@ -307,7 +312,7 @@ def test_cdx_index_and_random_access(spark, tmp_path):
     # random access: pick 3 of 7 ranges, fetch, compare against full scan
     from crawl4ai_spark.sources.warc import warc_records
 
-    want = {r.url for r in rows if r.url.endswith(("doc0", "gzdoc1", "gzdoc3"))}
+    want = {r.url for r in rows if r.url.endswith(("/doc0", "gzdoc1", "gzdoc3"))}
     sel = cdx.filter(F.col("url").isin(*want))
     got = records_from_cdx(spark, sel).collect()
     assert {r.url for r in got} == want
@@ -361,3 +366,50 @@ def test_warc_roundtrip_property():
             assert len(again) == 1 and again[0]["payload"] == payload
 
     check()
+
+
+def test_cdx_whole_stream_gzip_not_seekable(spark, tmp_path):
+    """A whole-stream-gzip segment (records NOT aligned with members)
+    must index every record as offset=None — including the FIRST record,
+    whose start collides with the single member's uncompressed offset 0.
+    Otherwise a selection naming just that record would fetch the whole
+    segment."""
+    import gzip as _gzip
+
+    from crawl4ai_spark.sources.warc import (
+        build_warc_bytes,
+        cdx_index,
+        records_from_cdx,
+    )
+
+    whole = _gzip.compress(build_warc_bytes(_mk_records(3)))
+    (tmp_path / "whole.warc.gz").write_bytes(whole)
+    cdx = cdx_index(spark, str(tmp_path / "*.warc.gz"))
+    rows = cdx.collect()
+    assert len(rows) == 3
+    assert all(r.offset is None for r in rows)
+    assert records_from_cdx(spark, cdx).count() == 0  # nothing seekable
+
+
+def test_warc_sink_retry_idempotent(spark, tmp_path):
+    """Deterministic per-partition names + atomic replace: running the
+    same write twice into the same dir yields the same file set and the
+    same rows — a task retry or job rerun can never double records."""
+    import glob as _glob
+
+    from crawl4ai_spark.sources.warc import pages_from_warc, write_warc
+
+    src = spark.createDataFrame(
+        [(f"https://r.example/{i}", f"<p>{i}</p>".encode()) for i in range(10)],
+        "url string, html binary",
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("warc_ts"),
+        "html",
+    ).repartition(2)
+    out = str(tmp_path / "out")
+    write_warc(src, out).collect()
+    first = sorted(_glob.glob(out + "/part-*"))
+    write_warc(src, out).collect()  # the "retry"
+    assert sorted(_glob.glob(out + "/part-*")) == first
+    assert pages_from_warc(spark, out + "/*.warc.gz").count() == 10
