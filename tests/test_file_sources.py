@@ -413,3 +413,57 @@ def test_warc_sink_retry_idempotent(spark, tmp_path):
     write_warc(src, out).collect()  # the "retry"
     assert sorted(_glob.glob(out + "/part-*")) == first
     assert pages_from_warc(spark, out + "/*.warc.gz").count() == 10
+
+
+def test_crawl_loop_over_warc_corpus(spark, tmp_path):
+    """Full circle: a WARC-backed pages table drives the actual crawl
+    loop — seeds, link discovery, BFS frontier iterations, markdown
+    results — with zero adaptation, because pages_from_warc emits the
+    standard pages schema. This is the 'switch a CC drop into the
+    engine' path end to end."""
+    from crawl4ai_spark.plans.crawl import CrawlConfig, CrawlRun
+    from crawl4ai_spark.sources.synthetic import build_robots
+    from crawl4ai_spark.sources.warc import build_warc_bytes, pages_from_warc
+
+    def page(i):
+        kids = [2 * i + 1, 2 * i + 2]
+        links = "".join(
+            f'<a href="https://warcsite.example/p{k}">k{k}</a>'
+            for k in kids if k < 6
+        )
+        return (
+            "response",
+            f"https://warcsite.example/p{i}",
+            f"2024-01-01T00:00:{i:02d}Z",
+            f"<html><body><h1>Page {i}</h1>{links}</body></html>".encode(),
+        )
+
+    (tmp_path / "s0.warc").write_bytes(build_warc_bytes([page(i) for i in range(3)]))
+    (tmp_path / "s1.warc.gz").write_bytes(
+        build_warc_bytes([page(i) for i in range(3, 6)], per_record_gzip=True)
+    )
+    pages = pages_from_warc(spark, str(tmp_path / "s*")).cache()
+    seeds = spark.createDataFrame(
+        [("https://warcsite.example/p0",)], "url string"
+    )
+    run = CrawlRun(
+        spark, pages, build_robots(spark), seeds,
+        str(tmp_path / "wd"),
+        CrawlConfig(mode="bfs", max_pages=10),
+    )
+    run.run(max_iterations=5)
+    got = {
+        r.url: r.depth
+        for r in run.results().filter("success").select("url", "depth").collect()
+    }
+    # the binary-tree reachability: p0 at depth 0, p1/p2 at 1, p3..p5 at 2
+    assert got == {
+        "https://warcsite.example/p0": 0,
+        "https://warcsite.example/p1": 1,
+        "https://warcsite.example/p2": 1,
+        "https://warcsite.example/p3": 2,
+        "https://warcsite.example/p4": 2,
+        "https://warcsite.example/p5": 2,
+    }
+    md = run.results().filter("success").select("raw_markdown").collect()
+    assert all("# Page" in r.raw_markdown for r in md)
